@@ -1,0 +1,78 @@
+"""Command-line driver: render a registered scene to PPM/PNG.
+
+Replacement for the reference's main() (main.go:22-78) with real flags
+instead of compile-time constants, plus structured progress and a rays/s
+report (SURVEY.md §5 observability).
+
+Usage:
+    python -m raytracer_tpu.cli --scene cornell --out out/cornell.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from raytracer_tpu.render.driver import render_scene
+from raytracer_tpu.scenes.registry import SCENES, get_scene
+from raytracer_tpu.imgio.image import write_png, write_ppm
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scene", default="rand_spheres", choices=sorted(SCENES))
+    ap.add_argument("--out", default="out/img.png")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--max-depth", type=int, default=None)
+    ap.add_argument("--profile", action="store_true", help="jax.profiler trace to out/trace")
+    args = ap.parse_args(argv)
+
+    overrides = {}
+    if args.width is not None:
+        overrides["width"] = args.width
+    if args.spp is not None:
+        overrides["spp"] = args.spp
+    if args.max_depth is not None:
+        overrides["max_depth"] = args.max_depth
+
+    scene, cam, settings = get_scene(args.scene, args.seed, **overrides)
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace("out/trace")
+
+    t0 = time.perf_counter()
+    img = render_scene(scene, cam, settings, seed=args.seed, progress=True)
+    dt = time.perf_counter() - t0
+
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+
+    if args.out.endswith(".ppm"):
+        write_ppm(args.out, img)
+    else:
+        write_png(args.out, img)
+
+    camera_rays = settings.width * settings.height * settings.samples_per_pixel
+    print(
+        json.dumps(
+            {
+                "scene": args.scene,
+                "size": [settings.width, settings.height],
+                "spp": settings.samples_per_pixel,
+                "wall_s": round(dt, 3),
+                "camera_mrays_per_s": round(camera_rays / dt / 1e6, 3),
+                "out": args.out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Batched ray–scene intersection, formulated for the MXU.
+
+TPU-first redesign of the reference's closest-hit machinery: the Go code walks
+a BVH with per-ray recursion and branchy scalar intersection tests
+(hittables.go:96-132 sphere, hittables.go:167-194 quad, bvh.go:220-249
+traversal). On TPU the dense formulation wins for scenes of this size
+(~500 primitives): every ray-primitive dot product that the scalar code
+computes one at a time becomes a single `(N,3) @ (3,K)` matmul, and the
+closest-hit "shrinking t_max" loop (hittables.go:55-72) becomes a masked
+min-reduction over the primitive axis. Everything is branchless — validity
+conditions are masks, invalid candidates get t = +inf.
+
+The math reproduces the reference exactly (same half-b quadratic, same strict
+open interval (t_min, +inf), same root-selection order, same quad plane/basis
+test), so primary-hit t/normal/uv can be compared bit-close against a NumPy
+port in the tests.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from raytracer_tpu.core import vecmath as vm
+from raytracer_tpu.geometry.scene import Scene
+
+INF = jnp.inf
+# Reference uses a strict open interval with t_min = 0.001 (ray.go:37-40).
+DEFAULT_T_MIN = 1e-3
+# Quad denominator cutoff (hittables.go:169-171).
+QUAD_DENOM_EPS = 1e-8
+# Sphere-UV phi offset quirk (hittables.go:124-125) — the reference adds
+# 5*pi/12 to phi "to make the earth texture line up"; reproduced for parity.
+SPHERE_UV_PHI_OFFSET = 5.0 * jnp.pi / 12.0
+
+
+class HitRecord(NamedTuple):
+    """SoA hit buffer, the batched analog of HitInfo (hittables.go:12-37)."""
+
+    t: jnp.ndarray  # (N,) f32, +inf on miss
+    hit: jnp.ndarray  # (N,) bool
+    point: jnp.ndarray  # (N, 3)
+    normal: jnp.ndarray  # (N, 3) — flipped to face the ray (hittables.go:23-26)
+    front_face: jnp.ndarray  # (N,) bool
+    u: jnp.ndarray  # (N,)
+    v: jnp.ndarray  # (N,)
+    mat_id: jnp.ndarray  # (N,) i32
+    prim_id: jnp.ndarray  # (N,) i32 — global primitive index (spheres then quads)
+
+
+class QuadDerived(NamedTuple):
+    """Per-quad derived quantities (hittables.go:149-165), computed in-jit so
+    gradients flow back to the raw (Q, u, v) parameters."""
+
+    normal: jnp.ndarray  # (Q, 3) unit plane normal
+    d: jnp.ndarray  # (Q,) plane offset D = n̂·Q
+    av: jnp.ndarray  # (Q, 3) alpha = p·av basis vector (= v × w)
+    bv: jnp.ndarray  # (Q, 3) beta = p·bv basis vector (= w × u)
+    q_av: jnp.ndarray  # (Q,) Q·av
+    q_bv: jnp.ndarray  # (Q,) Q·bv
+
+
+def quad_derived(scene: Scene) -> QuadDerived:
+    """hittables.go:149-165: n = u×v, n̂, D = n̂·Q, w = n/(n·n).
+
+    The reference computes alpha = w·(p×v), beta = w·(u×p) per hit
+    (hittables.go:185-186). By the scalar-triple-product identity these are
+    alpha = p·(v×w), beta = p·(w×u) — so we precompute av = v×w, bv = w×u once
+    per quad and the per-ray work becomes two more columns in the big matmul.
+    """
+    n_raw = jnp.cross(scene.quad_u, scene.quad_v)
+    nn = vm.length_sq(n_raw)
+    # Guard degenerate (dummy) quads; they are rejected by the denom test.
+    safe_nn = jnp.where(nn > 0, nn, 1.0)
+    w = n_raw / safe_nn[..., None]
+    normal = n_raw / jnp.sqrt(safe_nn)[..., None]
+    d = vm.dot(normal, scene.quad_q)
+    av = jnp.cross(scene.quad_v, w)
+    bv = jnp.cross(w, scene.quad_u)
+    return QuadDerived(
+        normal=normal,
+        d=d,
+        av=av,
+        bv=bv,
+        q_av=vm.dot(scene.quad_q, av),
+        q_bv=vm.dot(scene.quad_q, bv),
+    )
+
+
+def _sphere_candidate_t(scene: Scene, origin, direction, t_min):
+    """Per-(ray, sphere) candidate hit t, +inf where invalid.
+
+    Reference math (hittables.go:96-116), vectorized:
+      oc = o - c;  a = |d|^2;  half_b = d·oc;  c = |oc|^2 - r^2
+      disc = half_b^2 - a c;  roots (-half_b ∓ sqrt(disc)) / a,
+      nearest root first, strict open interval test (bvh.go:18-20).
+
+    The ray-dependent dot products d·c and o·c over all spheres are the two
+    matmuls (N,3)@(3,S) — MXU work; the epilogue is elementwise on (N,S).
+    """
+    centers = scene.sph_center  # (S, 3)
+    radius = scene.sph_radius  # (S,)
+    d_dot_c = direction @ centers.T  # (N, S) — MXU
+    o_dot_c = origin @ centers.T  # (N, S) — MXU
+    a = vm.length_sq(direction)[:, None]  # (N, 1)
+    d_dot_o = vm.dot(direction, origin)[:, None]  # (N, 1)
+    o_sq = vm.length_sq(origin)[:, None]  # (N, 1)
+    c_sq_minus_r_sq = vm.length_sq(centers) - radius * radius  # (S,)
+
+    half_b = d_dot_o - d_dot_c  # (N, S)
+    c = o_sq - 2.0 * o_dot_c + c_sq_minus_r_sq  # (N, S)
+    disc = half_b * half_b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / a
+    t0 = (-half_b - sq) * inv_a
+    t1 = (-half_b + sq) * inv_a
+
+    # disc < 0 -> miss (hittables.go:104-106); radius == 0 marks dummy rows.
+    feasible = (disc >= 0.0) & (radius != 0.0)
+    ok0 = feasible & (t0 > t_min)
+    ok1 = feasible & (t1 > t_min)
+    return jnp.where(ok0, t0, jnp.where(ok1, t1, INF))
+
+
+def _quad_candidate_t(scene: Scene, qd: QuadDerived, origin, direction, t_min):
+    """Per-(ray, quad) candidate hit t (+inf invalid) and the (alpha, beta)
+    plane coordinates (kept for the winner's UV).
+
+    Reference math (hittables.go:167-194). The six ray-dependent dot products
+    (o·n̂, d·n̂, o·av, d·av, o·bv, d·bv) are two matmuls (N,3)@(3,3Q).
+    """
+    feats = jnp.concatenate([qd.normal, qd.av, qd.bv], axis=0)  # (3Q, 3)
+    o_f = origin @ feats.T  # (N, 3Q) — MXU
+    d_f = direction @ feats.T  # (N, 3Q) — MXU
+    nq = qd.normal.shape[0]
+    o_n, o_av, o_bv = o_f[:, :nq], o_f[:, nq : 2 * nq], o_f[:, 2 * nq :]
+    d_n, d_av, d_bv = d_f[:, :nq], d_f[:, nq : 2 * nq], d_f[:, 2 * nq :]
+
+    denom_ok = jnp.abs(d_n) >= QUAD_DENOM_EPS  # hittables.go:169-171
+    safe_dn = jnp.where(denom_ok, d_n, 1.0)
+    t = (qd.d - o_n) / safe_dn  # hittables.go:173
+    alpha = o_av + t * d_av - qd.q_av  # = w·(p×v), hittables.go:183-185
+    beta = o_bv + t * d_bv - qd.q_bv  # = w·(u×p), hittables.go:186
+    in_plane = (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
+    ok = denom_ok & (t > t_min) & in_plane
+    return jnp.where(ok, t, INF), alpha, beta
+
+
+def _sphere_uv(unit_normal):
+    """Spherical UV with the reference's phi-offset quirk (hittables.go:122-126)."""
+    ny = jnp.clip(unit_normal[..., 1], -1.0, 1.0)
+    theta = jnp.arccos(-ny)
+    phi = jnp.arctan2(-unit_normal[..., 2], unit_normal[..., 0]) + jnp.pi
+    u = (phi + SPHERE_UV_PHI_OFFSET) / (2.0 * jnp.pi)
+    v = theta / jnp.pi
+    return u, v
+
+
+def intersect_scene(
+    scene: Scene, origin, direction, t_min: float = DEFAULT_T_MIN
+) -> HitRecord:
+    """Closest hit over all primitives for a batch of rays.
+
+    Args:
+      scene: Scene tables.
+      origin, direction: (N, 3) f32; direction unnormalized (reference keeps
+        camera directions unnormalized, camera.go:283-286).
+      t_min: open-interval lower bound (ray.go:38).
+
+    Returns a HitRecord. Equivalent to World.Hit's shrinking linear scan
+    (hittables.go:55-72) / BVH.Hit (bvh.go:220-249) — both return the same
+    closest hit; here it is one masked min over the primitive axis.
+    """
+    ns = scene.num_spheres
+    t_s = _sphere_candidate_t(scene, origin, direction, t_min)  # (N, S)
+    qd = quad_derived(scene)
+    t_q, alpha, beta = _quad_candidate_t(scene, qd, origin, direction, t_min)
+
+    t_all = jnp.concatenate([t_s, t_q], axis=1)  # (N, S+Q)
+    prim = jnp.argmin(t_all, axis=1).astype(jnp.int32)  # (N,)
+    t = jnp.min(t_all, axis=1)
+    hit = jnp.isfinite(t)
+    t_safe = jnp.where(hit, t, 0.0)
+
+    is_quad = prim >= ns
+    sidx = jnp.minimum(prim, ns - 1)
+    qidx = jnp.clip(prim - ns, 0, scene.num_quads - 1)
+
+    point = origin + t_safe[..., None] * direction
+
+    # Sphere outward normal: unit((p - c) * r) — the multiply by (possibly
+    # negative) radius flips normals for hollow-glass spheres
+    # (hittables.go:118-120).
+    s_center = scene.sph_center[sidx]
+    s_radius = scene.sph_radius[sidx]
+    s_out = vm.normalize((point - s_center) * s_radius[..., None], eps=1e-20)
+    s_u, s_v = _sphere_uv(s_out)
+
+    q_out = qd.normal[qidx]
+    q_u = jnp.take_along_axis(alpha, qidx[:, None], axis=1)[:, 0]
+    q_v = jnp.take_along_axis(beta, qidx[:, None], axis=1)[:, 0]
+
+    outward = jnp.where(is_quad[..., None], q_out, s_out)
+    u = jnp.where(is_quad, q_u, s_u)
+    v = jnp.where(is_quad, q_v, s_v)
+    mat_id = jnp.where(is_quad, scene.quad_mat[qidx], scene.sph_mat[sidx])
+
+    # Face the normal against the incoming ray (hittables.go:23-26).
+    front_face = vm.dot(direction, outward) < 0.0
+    normal = jnp.where(front_face[..., None], outward, -outward)
+
+    return HitRecord(
+        t=t,
+        hit=hit,
+        point=point,
+        normal=normal,
+        front_face=front_face,
+        u=u,
+        v=v,
+        mat_id=mat_id,
+        prim_id=prim,
+    )

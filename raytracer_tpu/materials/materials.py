@@ -1,0 +1,122 @@
+"""Branchless material shading: emission + scatter for a wavefront of hits.
+
+Replaces the reference's `Material` interface dispatch (materials.go:9-17)
+with an enum + masked-select design: all material branches are evaluated for
+the whole batch (they are a handful of VPU ops each) and the per-lane result
+selected by `mat_type`. Random decisions are reparameterized through explicit
+uniforms so the whole scatter is a smooth(ish) function for autodiff — the
+discrete reflect/refract and absorb events use the same stochastic semantics
+as the reference (straight-through for gradients).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from raytracer_tpu.core import vecmath as vm
+from raytracer_tpu.core.sampling import unit_sphere_from_uniform
+from raytracer_tpu.geometry.intersect import HitRecord
+from raytracer_tpu.geometry.scene import (
+    Scene,
+    DIELECTRIC,
+    DIFFUSE_LIGHT,
+    LAMBERTIAN,
+    METAL,
+)
+from raytracer_tpu.materials.textures import eval_texture
+
+# Number of U[0,1) uniforms consumed per lane per bounce:
+# 2 for the unit-sphere sample (Lambertian diffuse dir / Metal fuzz),
+# 1 for the Dielectric reflect-vs-refract coin (materials.go:103).
+UNIFORMS_PER_BOUNCE = 3
+
+
+class ScatterResult(NamedTuple):
+    """Batched analog of ScatterInfo + the did-scatter bool (materials.go:14-17)."""
+
+    direction: jnp.ndarray  # (N, 3) scattered ray direction
+    attenuation: jnp.ndarray  # (N, 3)
+    scattered: jnp.ndarray  # (N,) bool — False = absorbed / emitter
+    emitted: jnp.ndarray  # (N, 3) — emission at the hit (ray.go:41)
+
+
+def shade(scene: Scene, hit: HitRecord, ray_dir, uniforms) -> ScatterResult:
+    """Compute emission and the scattered ray for every lane.
+
+    Args:
+      scene: scene tables.
+      hit: HitRecord from intersect_scene (lanes that missed carry garbage;
+        callers mask with hit.hit).
+      ray_dir: (N, 3) incoming ray directions (unnormalized, as traced).
+      uniforms: (N, UNIFORMS_PER_BOUNCE) U[0,1).
+
+    Mirrors Ray.GetColor's emit+scatter sequence (ray.go:41-50) with the four
+    concrete materials (materials.go:19-119, 297-313).
+    """
+    mid = hit.mat_id
+    mtype = scene.mat_type[mid]  # (N,)
+    normal = hit.normal
+    n = normal.shape[0]
+
+    # ---- emission (DiffuseLight.Emit, materials.go:311-313; others black) --
+    tex_id = scene.mat_tex[mid]
+    tex_color = eval_texture(scene, tex_id, hit.u, hit.v, hit.point)
+    is_light = mtype == DIFFUSE_LIGHT
+    emitted = jnp.where(is_light[..., None], tex_color, 0.0)
+
+    # ---- shared samples ----------------------------------------------------
+    sphere_sample = unit_sphere_from_uniform(uniforms[:, 0:2])  # (N, 3)
+    unit_dir = vm.normalize(ray_dir, eps=1e-20)
+
+    # ---- Lambertian (materials.go:33-42) -----------------------------------
+    lamb_dir = normal + sphere_sample
+    # Degenerate-direction guard (vec3.go:170-172 + materials.go:35-37).
+    lamb_dir = jnp.where(vm.near_zero(lamb_dir)[..., None], normal, lamb_dir)
+
+    # ---- Metal (materials.go:60-75) ----------------------------------------
+    reflected = vm.reflect(unit_dir, normal)
+    fuzz = scene.mat_fuzz[mid][..., None]
+    metal_dir = reflected + fuzz * sphere_sample
+    metal_ok = vm.dot(metal_dir, normal) > 0.0  # absorbed otherwise
+
+    # ---- Dielectric (materials.go:91-113) ----------------------------------
+    ior = scene.mat_ior[mid]
+    eta = jnp.where(hit.front_face, 1.0 / ior, ior)
+    cos_theta = jnp.minimum(vm.dot(-unit_dir, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    cannot_refract = sin_theta * eta > 1.0
+    reflect_prob = vm.schlick_reflectance(cos_theta, eta)
+    use_reflect = cannot_refract | (reflect_prob > uniforms[:, 2])
+    refracted = vm.refract(unit_dir, normal, eta)
+    diel_dir = jnp.where(use_reflect[..., None], reflected, refracted)
+
+    # ---- select per material type ------------------------------------------
+    is_lamb = (mtype == LAMBERTIAN)[..., None]
+    is_metal = (mtype == METAL)[..., None]
+    is_diel = (mtype == DIELECTRIC)[..., None]
+
+    direction = jnp.where(
+        is_lamb, lamb_dir, jnp.where(is_metal, metal_dir, diel_dir)
+    )
+    attenuation = jnp.where(
+        is_lamb,
+        tex_color,  # Lambertian albedo texture (materials.go:40)
+        jnp.where(
+            is_metal,
+            scene.mat_albedo[mid],  # Metal flat albedo (materials.go:70)
+            jnp.where(is_diel, jnp.ones((n, 3), ray_dir.dtype), 0.0),
+        ),
+    )
+    scattered = jnp.where(
+        mtype == METAL,
+        metal_ok,
+        (mtype == LAMBERTIAN) | (mtype == DIELECTRIC),
+    )
+    return ScatterResult(
+        direction=direction,
+        attenuation=attenuation,
+        scattered=scattered,
+        emitted=emitted,
+    )

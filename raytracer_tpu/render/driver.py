@@ -1,0 +1,123 @@
+"""Tiled/batched render driver: the TPU replacement for the reference's
+goroutine worker pool + ordered channel pipeline (camera.go:180-263).
+
+Design (SURVEY.md §2.1 "Render engine"): the image is a flat pixel array;
+each jitted *pass* traces `samples_per_pass` fresh camera samples for every
+pixel in one big wavefront batch (pixel index is just an array index, so the
+reference's ordering machinery — Bridge/Agg/Buf stages — has no analog).
+Passes accumulate radiance on device; spp is exact. One compiled executable
+serves all passes (the PRNG key is the only changing input).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.core.camera import Camera, RenderSettings, camera_frame, camera_rays
+from raytracer_tpu.geometry.scene import Scene
+from raytracer_tpu.integrator.wavefront import trace
+from raytracer_tpu.render.postprocess import to_u8
+
+# Target wavefront size per pass; ~1M rays keeps the TPU busy while bounding
+# the (N, S) intersection buffers (N * S * 4B per matrix in HBM).
+DEFAULT_TARGET_RAYS_PER_PASS = 1 << 20
+
+
+def samples_per_pass_for(
+    spp: int, num_pixels: int, target_rays: int = DEFAULT_TARGET_RAYS_PER_PASS
+) -> int:
+    """Largest k <= ideal that divides spp, so passes * k == spp exactly."""
+    ideal = max(1, min(spp, target_rays // max(1, num_pixels)))
+    for k in range(ideal, 0, -1):
+        if spp % k == 0:
+            return k
+    return 1
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "samples_per_pass", "max_depth", "sky_gradient"),
+)
+def render_pass(
+    scene: Scene,
+    cam: Camera,
+    key,
+    *,
+    width: int,
+    height: int,
+    samples_per_pass: int,
+    max_depth: int,
+    sky_gradient: bool,
+):
+    """Trace `samples_per_pass` samples for every pixel; return the per-pixel
+    radiance *sum* of this pass, shape (height, width, 3)."""
+    n = width * height
+    k = samples_per_pass
+    frame = camera_frame(cam, width, height)
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (k * n, 1), 0)[:, 0] % n
+    px = pix % width
+    py = pix // width
+
+    key_cam, key_trace = jax.random.split(key)
+    cam_uniforms = jax.random.uniform(key_cam, (k * n, 4), jnp.float32)
+    origin, direction = camera_rays(frame, px, py, cam_uniforms)
+
+    radiance = trace(
+        scene,
+        origin,
+        direction,
+        key_trace,
+        cam.background,
+        max_depth=max_depth,
+        sky_gradient=sky_gradient,
+    )
+    per_pixel = radiance.reshape(k, n, 3).sum(axis=0)
+    return per_pixel.reshape(height, width, 3)
+
+
+def render_image(
+    scene: Scene,
+    cam: Camera,
+    settings: RenderSettings,
+    *,
+    seed: int = 0,
+    target_rays_per_pass: int = DEFAULT_TARGET_RAYS_PER_PASS,
+    progress: bool = False,
+) -> jnp.ndarray:
+    """Render the full image; returns linear mean radiance (H, W, 3) f32.
+
+    Equivalent of Camera.Render + GetPixelColor's spp averaging
+    (camera.go:180-263), minus the output encoding (see postprocess/imgio).
+    """
+    w, h, spp = settings.width, settings.height, settings.samples_per_pixel
+    n = w * h
+    k = samples_per_pass_for(spp, n, target_rays_per_pass)
+    passes = spp // k
+
+    key = jax.random.PRNGKey(seed)
+    acc = jnp.zeros((h, w, 3), jnp.float32)
+    for p in range(passes):
+        acc = acc + render_pass(
+            scene,
+            cam,
+            jax.random.fold_in(key, p),
+            width=w,
+            height=h,
+            samples_per_pass=k,
+            max_depth=settings.max_depth,
+            sky_gradient=settings.sky_gradient,
+        )
+        if progress:
+            print(f"pass {p + 1}/{passes} ({(p + 1) * k}/{spp} spp)", flush=True)
+    return acc / jnp.float32(spp)
+
+
+def render_scene(scene: Scene, cam: Camera, settings: RenderSettings, **kw):
+    """Render and postprocess to uint8 (H, W, 3) on host."""
+    linear = render_image(scene, cam, settings, **kw)
+    return np.asarray(jax.device_get(to_u8(linear)))
