@@ -20,7 +20,20 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+# TPU MXU matmuls default to bf16 passes for f32 inputs; hit t's need full f32
+# (bf16's ~3 significant digits visibly corrupts intersections — measured:
+# 1.7% t error on a 12-sphere scene; Cornell-box coordinates (~555) would be
+# far worse). HIGHEST forces the f32-accurate multi-pass mode; these matmuls
+# have K=3 so the extra passes are negligible next to the (N,K) epilogue.
+_DOT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _dot_nk(a, b_t):
+    """(N,3) @ (3,K) at full f32 precision."""
+    return jnp.dot(a, b_t, precision=_DOT_PRECISION)
 
 from raytracer_tpu.core import vecmath as vm
 from raytracer_tpu.geometry.scene import Scene
@@ -101,8 +114,8 @@ def _sphere_candidate_t(scene: Scene, origin, direction, t_min):
     """
     centers = scene.sph_center  # (S, 3)
     radius = scene.sph_radius  # (S,)
-    d_dot_c = direction @ centers.T  # (N, S) — MXU
-    o_dot_c = origin @ centers.T  # (N, S) — MXU
+    d_dot_c = _dot_nk(direction, centers.T)  # (N, S) — MXU
+    o_dot_c = _dot_nk(origin, centers.T)  # (N, S) — MXU
     a = vm.length_sq(direction)[:, None]  # (N, 1)
     d_dot_o = vm.dot(direction, origin)[:, None]  # (N, 1)
     o_sq = vm.length_sq(origin)[:, None]  # (N, 1)
@@ -131,8 +144,8 @@ def _quad_candidate_t(scene: Scene, qd: QuadDerived, origin, direction, t_min):
     (o·n̂, d·n̂, o·av, d·av, o·bv, d·bv) are two matmuls (N,3)@(3,3Q).
     """
     feats = jnp.concatenate([qd.normal, qd.av, qd.bv], axis=0)  # (3Q, 3)
-    o_f = origin @ feats.T  # (N, 3Q) — MXU
-    d_f = direction @ feats.T  # (N, 3Q) — MXU
+    o_f = _dot_nk(origin, feats.T)  # (N, 3Q) — MXU
+    d_f = _dot_nk(direction, feats.T)  # (N, 3Q) — MXU
     nq = qd.normal.shape[0]
     o_n, o_av, o_bv = o_f[:, :nq], o_f[:, nq : 2 * nq], o_f[:, 2 * nq :]
     d_n, d_av, d_bv = d_f[:, :nq], d_f[:, nq : 2 * nq], d_f[:, 2 * nq :]

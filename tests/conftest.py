@@ -1,0 +1,27 @@
+"""Test config: force CPU with 8 virtual devices so sharding logic is tested
+without a pod (SURVEY.md §4.5). Must run before jax imports."""
+
+import os
+
+# NOTE: this image pins JAX_PLATFORMS=axon (the TPU tunnel) in the
+# environment and the plugin wins over a re-exported env var, so the reliable
+# way to force CPU is jax.config *before* backend initialization.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,65 @@
+"""Render driver + postprocess + image I/O."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracer_tpu.core.camera import make_camera
+from raytracer_tpu.geometry.scene import SceneBuilder
+from raytracer_tpu.imgio.image import read_ppm, write_ppm
+from raytracer_tpu.render.driver import render_image, render_scene, samples_per_pass_for
+from raytracer_tpu.render.postprocess import to_u8
+
+
+def test_samples_per_pass_divides_spp():
+    assert samples_per_pass_for(500, 90_000, 1 << 20) == 10
+    assert samples_per_pass_for(100, 90_000, 1 << 20) == 10
+    assert samples_per_pass_for(7, 1000, 1 << 20) == 7
+    assert samples_per_pass_for(13, 10**9, 1 << 20) == 1
+
+
+def test_postprocess_matches_reference_pipeline():
+    # camera.go:212-215: gamma2 (sqrt) -> clamp -> *255.999 -> int truncate.
+    lin = jnp.array([[[0.0, 0.25, 1.0], [4.0, 0.5, 0.0081]]])
+    got = np.asarray(to_u8(lin))
+    want = np.floor(np.clip(np.sqrt([[0.0, 0.25, 1.0], [4.0, 0.5, 0.0081]]), 0, 1) * 255.999)
+    np.testing.assert_array_equal(got[0], want.astype(np.uint8))
+
+
+def test_ppm_roundtrip(tmp_path, rng):
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    p = str(tmp_path / "img.ppm")
+    write_ppm(p, img)
+    with open(p) as f:
+        head = f.read(20)
+    assert head.startswith("P3\n5 7\n255\n")
+    np.testing.assert_array_equal(read_ppm(p), img)
+
+
+def _tiny_scene():
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian((0.5, 0.5, 0.5)))
+    b.add_sphere((0, -101, -3), 100.0, b.lambertian((0.3, 0.6, 0.3)))
+    cam, settings = make_camera(
+        16 / 9, 48, samples_per_pixel=8, max_depth=6, background=(0.7, 0.8, 1.0)
+    )
+    return b.build(), cam, settings
+
+
+def test_render_deterministic_and_pass_split_invariant():
+    scene, cam, settings = _tiny_scene()
+    a = render_image(scene, cam, settings, seed=3)
+    b = render_image(scene, cam, settings, seed=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = render_image(scene, cam, settings, seed=4)
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 0  # seed matters
+    # Same spp split into different pass sizes: different sample keys, but the
+    # converged means must agree statistically.
+    d = render_image(scene, cam, settings, seed=3, target_rays_per_pass=48 * 27 * 2)
+    assert np.abs(np.asarray(a) - np.asarray(d)).mean() < 0.15
+
+
+def test_render_scene_shape_dtype():
+    scene, cam, settings = _tiny_scene()
+    img = render_scene(scene, cam, settings)
+    assert img.shape == (settings.height, settings.width, 3)
+    assert img.dtype == np.uint8

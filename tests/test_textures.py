@@ -1,0 +1,137 @@
+"""Texture evaluation vs reference semantics (materials.go:121-295)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracer_tpu.geometry.scene import SceneBuilder
+from raytracer_tpu.materials.textures import (
+    eval_texture,
+    perlin_noise,
+    perlin_turbulence,
+)
+from tests import oracle
+
+
+def test_solid_color():
+    b = SceneBuilder(0)
+    t = b.solid_color(0.3, 0.6, 0.9)
+    b.lambertian(t)
+    scene = b.build()
+    col = eval_texture(
+        scene,
+        jnp.full((4,), t, jnp.int32),
+        jnp.zeros(4),
+        jnp.zeros(4),
+        jnp.zeros((4, 3)),
+    )
+    np.testing.assert_allclose(np.asarray(col), [[0.3, 0.6, 0.9]] * 4, rtol=1e-6)
+
+
+def test_checker_parity(rng):
+    b = SceneBuilder(0)
+    scale = 0.32
+    t = b.checker(scale, (0.2, 0.3, 0.1), (0.9, 0.9, 0.9))
+    b.lambertian(t)
+    scene = b.build()
+    pts = rng.uniform(-10, 10, (256, 3)).astype(np.float32)
+    col = np.asarray(
+        eval_texture(
+            scene,
+            jnp.full((256,), t, jnp.int32),
+            jnp.zeros(256),
+            jnp.zeros(256),
+            jnp.asarray(pts),
+        )
+    )
+    inv = 1.0 / scale
+    for p, c in zip(pts, col):
+        # materials.go:127-137: Go's int() truncates toward zero, but for the
+        # checker the reference floors first (math.Floor), so parity uses floor.
+        parity = int(sum(np.floor(inv * p).astype(np.int64))) % 2
+        want = (0.2, 0.3, 0.1) if parity == 0 else (0.9, 0.9, 0.9)
+        np.testing.assert_allclose(c, want, rtol=1e-6)
+
+
+def test_image_texture_nearest():
+    img = np.zeros((2, 4, 3), np.float32)
+    img[0, 0] = (1, 0, 0)
+    img[0, 3] = (0, 1, 0)
+    img[1, 0] = (0, 0, 1)
+    b = SceneBuilder(0)
+    t = b.image(img)
+    b.lambertian(t)
+    scene = b.build()
+
+    def lookup(u, v):
+        return np.asarray(
+            eval_texture(
+                scene,
+                jnp.array([t], jnp.int32),
+                jnp.array([u], jnp.float32),
+                jnp.array([v], jnp.float32),
+                jnp.zeros((1, 3)),
+            )
+        )[0]
+
+    # v is flipped (materials.go:181-182): v=1 -> row 0.
+    np.testing.assert_allclose(lookup(0.0, 1.0), (1, 0, 0))
+    np.testing.assert_allclose(lookup(0.9, 0.9), (0, 1, 0))
+    np.testing.assert_allclose(lookup(0.1, 0.1), (0, 0, 1))
+    # u out of range clamps (materials.go:181).
+    np.testing.assert_allclose(lookup(-0.5, 1.0), (1, 0, 0))
+
+
+def test_perlin_noise_matches_oracle(rng):
+    b = SceneBuilder(7)
+    t = b.noise(4)
+    b.lambertian(t)
+    scene = b.build()
+    vec = np.asarray(scene.perlin_vec)
+    px = np.asarray(scene.perlin_px)
+    py = np.asarray(scene.perlin_py)
+    pz = np.asarray(scene.perlin_pz)
+    pts = rng.uniform(-20, 20, (64, 3)).astype(np.float32)
+    got = np.asarray(perlin_noise(scene, jnp.asarray(pts)))
+    for p, g in zip(pts, got):
+        want = oracle.perlin_noise(vec, px, py, pz, p)
+        np.testing.assert_allclose(g, want, rtol=1e-3, atol=1e-4)
+
+
+def test_perlin_turb_matches_oracle(rng):
+    b = SceneBuilder(3)
+    t = b.noise(4)
+    b.lambertian(t)
+    scene = b.build()
+    vec = np.asarray(scene.perlin_vec)
+    px, py, pz = (
+        np.asarray(scene.perlin_px),
+        np.asarray(scene.perlin_py),
+        np.asarray(scene.perlin_pz),
+    )
+    pts = rng.uniform(-5, 5, (16, 3)).astype(np.float32)
+    got = np.asarray(perlin_turbulence(scene, jnp.asarray(pts)))
+    assert (got >= 0).all()
+    for p, g in zip(pts, got):
+        want = oracle.perlin_turb(vec, px, py, pz, p)
+        np.testing.assert_allclose(g, want, rtol=1e-2, atol=1e-3)
+
+
+def test_marble_value_range(rng):
+    """NoiseTexture value = 0.5*(1+sin(...)) in [0,1] (materials.go:285-288)."""
+    b = SceneBuilder(0)
+    t = b.noise(4)
+    b.lambertian(t)
+    scene = b.build()
+    pts = rng.uniform(-3, 3, (128, 3)).astype(np.float32)
+    col = np.asarray(
+        eval_texture(
+            scene,
+            jnp.full((128,), t, jnp.int32),
+            jnp.zeros(128),
+            jnp.zeros(128),
+            jnp.asarray(pts),
+        )
+    )
+    assert (col >= 0).all() and (col <= 1).all()
+    assert col.std() > 0.05  # actually varies
+    np.testing.assert_allclose(col[:, 0], col[:, 1])  # gray
