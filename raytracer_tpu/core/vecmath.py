@@ -70,7 +70,8 @@ def refract(uv, n, eta_ratio):
     perp = eta_ratio[..., None] * (uv + cos_theta[..., None] * n)
     # abs() inside sqrt matches the reference's math.Abs guard for
     # total-internal-reflection lanes (vec3.go:219); callers mask those out.
-    par = -jnp.sqrt(jnp.abs(1.0 - length_sq(perp)))[..., None] * n
+    # The 1e-12 floor keeps sqrt' finite at grazing angles for autodiff.
+    par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - length_sq(perp)), 1e-12))[..., None] * n
     return perp + par
 
 

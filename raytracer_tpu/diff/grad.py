@@ -1,0 +1,151 @@
+"""Differentiable rendering + inverse-rendering optimization.
+
+The reference has no autodiff at all (SURVEY.md §2.2 "Gradient parallel:
+absent") — this is a north-star capability (BASELINE.json): pixel gradients
+w.r.t. scene parameters (sphere centers/radii, albedos, fuzz, IOR, quad
+corners, camera) flow through the whole wavefront via:
+
+* reparameterized sampling (core/sampling.py — samples are smooth in their
+  uniforms, and the uniforms are parameter-independent);
+* the checkpointed `lax.scan` bounce loop (integrator/wavefront.py);
+* straight-through discrete events: hit-selection (argmin), the dielectric
+  reflect/refract coin and the metal absorb test keep their sampled branch,
+  and gradients flow through the selected branch's smooth math.
+
+For multi-device runs the loss is computed under sharding constraints: rays
+sharded, scene parameters replicated — XLA inserts the `psum` that all-reduces
+parameter gradients across the mesh (SURVEY.md §2.2 "gradient parallel").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from raytracer_tpu.core.camera import Camera, RenderSettings, camera_frame, camera_rays
+from raytracer_tpu.geometry.scene import Scene
+from raytracer_tpu.integrator.wavefront import trace
+
+# Scene leaves commonly optimized in inverse rendering.
+DEFAULT_TRAINABLE = ("sph_center", "sph_radius", "mat_albedo", "mat_fuzz", "tex_c0")
+
+
+def split_scene(scene: Scene, trainable=DEFAULT_TRAINABLE):
+    """Partition the scene into (params dict, rebuild fn)."""
+    params = {name: getattr(scene, name) for name in trainable}
+
+    def rebuild(p):
+        return scene.replace(**p)
+
+    return params, rebuild
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "samples_per_pass", "max_depth", "sky_gradient"),
+)
+def render_linear_diff(
+    scene: Scene,
+    cam: Camera,
+    key,
+    *,
+    width: int,
+    height: int,
+    samples_per_pass: int,
+    max_depth: int,
+    sky_gradient: bool = False,
+):
+    """Differentiable single-pass render: per-pixel *mean* linear radiance.
+
+    Same sampling as render/driver.render_pass but through the checkpointed
+    scan integrator.
+    """
+    n = width * height
+    k = samples_per_pass
+    frame = camera_frame(cam, width, height)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (k * n, 1), 0)[:, 0] % n
+    key_cam, key_trace = jax.random.split(key)
+    uniforms = jax.random.uniform(key_cam, (k * n, 4), jnp.float32)
+    o, d = camera_rays(frame, pix % width, pix // width, uniforms)
+    radiance = trace(
+        scene,
+        o,
+        d,
+        key_trace,
+        cam.background,
+        max_depth=max_depth,
+        sky_gradient=sky_gradient,
+        differentiable=True,
+    )
+    return radiance.reshape(k, n, 3).mean(axis=0).reshape(height, width, 3)
+
+
+def render_loss(
+    params: dict,
+    rebuild,
+    cam: Camera,
+    key,
+    target,
+    *,
+    width: int,
+    height: int,
+    samples_per_pass: int,
+    max_depth: int,
+    sky_gradient: bool = False,
+):
+    """MSE between a fresh stochastic render and a target image (linear RGB)."""
+    img = render_linear_diff(
+        rebuild(params),
+        cam,
+        key,
+        width=width,
+        height=height,
+        samples_per_pass=samples_per_pass,
+        max_depth=max_depth,
+        sky_gradient=sky_gradient,
+    )
+    return jnp.mean((img - target) ** 2)
+
+
+def make_inverse_renderer(
+    scene: Scene,
+    cam: Camera,
+    target,
+    *,
+    trainable=DEFAULT_TRAINABLE,
+    width: int,
+    height: int,
+    samples_per_pass: int = 4,
+    max_depth: int = 8,
+    sky_gradient: bool = False,
+    learning_rate: float = 1e-2,
+    optimizer=None,
+):
+    """Build (init_params, opt_state, step_fn) for gradient-descent scene
+    recovery (BASELINE.json config 5). `step_fn(params, opt_state, key)`
+    returns (params, opt_state, loss)."""
+    params, rebuild = split_scene(scene, trainable)
+    opt = optimizer or optax.adam(learning_rate)
+    opt_state = opt.init(params)
+    loss_kw = dict(
+        width=width,
+        height=height,
+        samples_per_pass=samples_per_pass,
+        max_depth=max_depth,
+        sky_gradient=sky_gradient,
+    )
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(render_loss)(
+            params, rebuild, cam, key, target, **loss_kw
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return params, opt_state, step

@@ -124,7 +124,11 @@ def _sphere_candidate_t(scene: Scene, origin, direction, t_min):
     half_b = d_dot_o - d_dot_c  # (N, S)
     c = o_sq - 2.0 * o_dot_c + c_sq_minus_r_sq  # (N, S)
     disc = half_b * half_b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Safe sqrt: masked-off lanes (disc <= 0) must not see sqrt'(0) = inf —
+    # a zero cotangent times an inf partial is NaN and would poison scene
+    # gradients (the classic where/NaN autodiff pitfall; double-where fix).
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    sq = jnp.where(disc > 0.0, sq, 0.0)
     inv_a = 1.0 / a
     t0 = (-half_b - sq) * inv_a
     t1 = (-half_b + sq) * inv_a

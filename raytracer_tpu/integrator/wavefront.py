@@ -44,6 +44,7 @@ class WavefrontState(NamedTuple):
     alive: jnp.ndarray  # (N,) bool
     key: jnp.ndarray  # PRNG key
     bounce: jnp.ndarray  # () i32
+    segments: jnp.ndarray  # () i32 — ray segments traced this batch (perf metric)
 
 
 def sky_color(direction):
@@ -102,6 +103,7 @@ def _bounce_step(scene: Scene, background, sky_gradient: bool, state: WavefrontS
         alive=alive,
         key=key,
         bounce=state.bounce + 1,
+        segments=state.segments + jnp.sum(state.alive).astype(state.segments.dtype),
     )
 
 
@@ -115,8 +117,10 @@ def trace(
     max_depth: int = 50,
     sky_gradient: bool = False,
     differentiable: bool = False,
-) -> jnp.ndarray:
-    """Trace a batch of rays to completion; returns radiance (N, 3).
+    return_stats: bool = False,
+):
+    """Trace a batch of rays to completion; returns radiance (N, 3)
+    (or (radiance, traced_segment_count) with return_stats=True).
 
     Depth exhaustion contributes black (ray.go:33-35): lanes still alive after
     `max_depth` bounces simply never add their tail.
@@ -131,6 +135,7 @@ def trace(
         alive=jnp.ones((n,), bool),
         key=key,
         bounce=jnp.int32(0),
+        segments=jnp.int32(0),
     )
     step = partial(_bounce_step, scene, background, sky_gradient)
 
@@ -147,4 +152,6 @@ def trace(
             step,
             init,
         )
+    if return_stats:
+        return final.radiance, final.segments
     return final.radiance

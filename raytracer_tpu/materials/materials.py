@@ -85,7 +85,9 @@ def shade(scene: Scene, hit: HitRecord, ray_dir, uniforms) -> ScatterResult:
     ior = scene.mat_ior[mid]
     eta = jnp.where(hit.front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(vm.dot(-unit_dir, normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    # Clip floor keeps sqrt' finite at normal incidence (cos == 1) — a zero
+    # cotangent times sqrt'(0) = inf would inject NaN into scene gradients.
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta * cos_theta, 1e-12, 1.0))
     cannot_refract = sin_theta * eta > 1.0
     reflect_prob = vm.schlick_reflectance(cos_theta, eta)
     use_reflect = cannot_refract | (reflect_prob > uniforms[:, 2])

@@ -1,0 +1,184 @@
+"""Gradient correctness: autodiff vs finite differences (BASELINE.md
+'gradient parity'), and inverse-rendering convergence.
+
+Note on geometry gradients: a path tracer's radiance is only *piecewise*
+smooth in geometry parameters — moving a sphere changes which paths hit it
+(silhouette discontinuities). Autodiff returns the almost-everywhere
+(interior) derivative; FD additionally picks up discontinuity flux from
+sample points that cross a boundary within the FD step. With a smooth
+environment (the gradient sky) the interior term is the dominant signal, so
+geometry is checked with a loose tolerance; color/texture/emission parameters
+are fully continuous and are checked tightly. (Exact silhouette gradients via
+warped-area reparameterization are future work, tracked in SURVEY.md §7.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracer_tpu.core.camera import make_camera
+from raytracer_tpu.diff.grad import (
+    make_inverse_renderer,
+    render_linear_diff,
+    render_loss,
+    split_scene,
+)
+from raytracer_tpu.geometry.scene import SceneBuilder
+
+
+def _scene():
+    b = SceneBuilder(0)
+    b.add_sphere((0.0, 0.0, -3.0), 1.0, b.lambertian((0.6, 0.3, 0.2)))
+    b.add_sphere((2.0, 0.5, -4.0), 1.0, b.metal((0.9, 0.7, 0.5), 0.1))
+    b.add_sphere((0.0, -101.0, -3.0), 100.0, b.lambertian((0.4, 0.4, 0.4)))
+    cam, settings = make_camera(
+        1.0,
+        24,
+        samples_per_pixel=8,
+        max_depth=4,
+        fov_degrees=60,
+        look_from=(0, 0, 1),
+        look_at=(0, 0, -3),
+    )
+    return b.build(), cam, settings
+
+
+KW = dict(width=24, height=24, samples_per_pass=8, max_depth=4, sky_gradient=True)
+
+
+def _fd_check(params, rebuild, cam, key, target, name, eps, rtol, min_match=1.0, min_checked=3):
+    def loss(p):
+        return render_loss(p, rebuild, cam, key, target, **KW)
+
+    g = jax.grad(loss)(params)
+    arr = params[name]
+    shape = np.asarray(arr).shape
+    flat = np.asarray(arr).ravel()
+    gflat = np.asarray(g[name]).ravel()
+    rng = np.random.default_rng(0)
+    idxs = rng.choice(flat.size, size=min(6, flat.size), replace=False)
+    matches, checked = 0, 0
+    for i in idxs:
+        # Central differences have a per-coordinate step-size sweet spot
+        # (f32 round-off below it, nonlinearity above); standard gradcheck
+        # practice: accept if any step in a small ladder matches.
+        fds = []
+        for e_scale in (1.0, 3.0):
+            e = np.zeros_like(flat)
+            e[i] = eps * e_scale
+            pp = dict(params)
+            pp[name] = arr + jnp.asarray(e.reshape(shape))
+            pm = dict(params)
+            pm[name] = arr - jnp.asarray(e.reshape(shape))
+            fds.append((float(loss(pp)) - float(loss(pm))) / (2 * eps * e_scale))
+        ad = float(gflat[i])
+        scale = max(max(abs(f) for f in fds), abs(ad))
+        if scale < 1e-4:
+            continue  # both ~zero: uninformative
+        checked += 1
+        if any(abs(fd - ad) / max(abs(fd), abs(ad)) < rtol for fd in fds):
+            matches += 1
+    assert checked >= min_checked, f"{name}: too few informative coordinates ({checked})"
+    assert matches >= min_match * checked, (name, matches, checked)
+    return g
+
+
+def test_fd_matches_continuous_params():
+    """Albedo-like parameters: fully continuous -> tight FD agreement."""
+    scene, cam, _ = _scene()
+    key = jax.random.PRNGKey(0)
+    target = jnp.zeros((24, 24, 3), jnp.float32) + 0.3
+    params, rebuild = split_scene(scene, trainable=("tex_c0", "mat_albedo"))
+    _fd_check(params, rebuild, cam, key, target, "tex_c0", 1e-2, 0.10)
+    _fd_check(params, rebuild, cam, key, target, "mat_albedo", 1e-2, 0.10)
+
+
+def test_fd_matches_geometry_interior_derivative():
+    """Geometry parameters: FD matches AD when no silhouette is in view.
+
+    A visibility-discontinuity-free setup — a convex lambertian sphere filling
+    the whole frame under the smooth sky — makes radiance a *continuous*
+    function of the sphere center (via hit points and normals), so FD and the
+    autodiff interior derivative must agree. (With silhouettes in view, FD
+    additionally measures boundary flux that plain AD cannot see — verified
+    empirically: that flux does not shrink with eps. Silhouette-aware gradients
+    are future work.)"""
+    b = SceneBuilder(0)
+    b.add_sphere((0.0, 0.0, -3.0), 2.0, b.lambertian((0.6, 0.3, 0.2)))
+    # Slightly off-axis view breaks the symmetry that would zero out the
+    # lateral center gradients.
+    cam, _ = make_camera(
+        1.0, 24, fov_degrees=40, look_from=(0, 0, 0), look_at=(0.4, -0.3, -3)
+    )
+    key = jax.random.PRNGKey(0)
+    target = jnp.zeros((24, 24, 3), jnp.float32) + 0.3
+    scene = b.build()
+    params, rebuild = split_scene(scene, trainable=("sph_center", "sph_radius"))
+    _fd_check(
+        params, rebuild, cam, key, target, "sph_center", 1e-3, 0.2,
+        min_match=0.75, min_checked=2,
+    )
+    _fd_check(
+        params,
+        rebuild,
+        cam,
+        key,
+        target,
+        "sph_radius",
+        1e-2,  # dL/dr is small; larger step avoids f32 round-off in the loss
+        0.2,
+        min_match=1.0,
+        min_checked=1,
+    )
+
+
+def test_gradients_finite_everywhere():
+    scene, cam, _ = _scene()
+    params, rebuild = split_scene(scene)  # all default trainables incl. fuzz
+    key = jax.random.PRNGKey(1)
+    target = jnp.zeros((24, 24, 3), jnp.float32)
+    g = jax.grad(render_loss)(params, rebuild, cam, key, target, **KW)
+    for name, leaf in g.items():
+        assert np.isfinite(np.asarray(leaf)).all(), name
+    # Lambertian albedo gradient must be live.
+    assert np.abs(np.asarray(g["tex_c0"])).max() > 1e-5
+
+
+def test_render_linear_diff_matches_forward_stats():
+    scene, cam, _ = _scene()
+    img = render_linear_diff(scene, cam, jax.random.PRNGKey(0), **KW)
+    assert img.shape == (24, 24, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert 0.1 < float(img.mean()) < 1.0
+
+
+def test_inverse_rendering_recovers_albedo():
+    """Recover a sphere albedo from a target image (BASELINE config 5,
+    single-device miniature)."""
+    scene, cam, _ = _scene()
+    target = render_linear_diff(scene, cam, jax.random.PRNGKey(42), **KW)
+
+    wrong = scene.replace(
+        tex_c0=scene.tex_c0.at[0].set(jnp.array([0.2, 0.7, 0.6]))
+    )
+    params, opt_state, step = make_inverse_renderer(
+        wrong,
+        cam,
+        target,
+        trainable=("tex_c0",),
+        width=24,
+        height=24,
+        samples_per_pass=8,
+        max_depth=4,
+        sky_gradient=True,
+        learning_rate=5e-2,
+    )
+    key = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(60):
+        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.25, losses[::10]
+    got = np.asarray(params["tex_c0"][0])
+    np.testing.assert_allclose(got, [0.6, 0.3, 0.2], atol=0.1)

@@ -1,0 +1,73 @@
+"""Multi-device sharding on the 8-virtual-CPU-device mesh (SURVEY.md §4.5)."""
+
+import numpy as np
+import jax
+import pytest
+
+from raytracer_tpu.core.camera import make_camera
+from raytracer_tpu.geometry.scene import SceneBuilder
+from raytracer_tpu.parallel.mesh import make_mesh, SAMPLE_AXIS, TILE_AXIS
+from raytracer_tpu.parallel.shard import render_image_sharded, sharded_samples_per_pass
+from raytracer_tpu.render.driver import render_image
+
+
+def _tiny():
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian((0.5, 0.5, 0.5)))
+    b.add_sphere((0, -101, -3), 100.0, b.metal((0.8, 0.8, 0.8), 0.1))
+    b.add_quad((-0.5, 1.5, -3), (1, 0, 0), (0, 0, -1), b.diffuse_light((3, 3, 3)))
+    cam, settings = make_camera(
+        16 / 9, 40, samples_per_pixel=8, max_depth=5, background=(0.7, 0.8, 1.0)
+    )
+    return b.build(), cam, settings
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(8, sample_parallel=2)
+    assert mesh.shape[TILE_AXIS] == 4 and mesh.shape[SAMPLE_AXIS] == 2
+    with pytest.raises(ValueError):
+        make_mesh(8, sample_parallel=3)
+
+
+def test_sharded_samples_per_pass():
+    mesh = make_mesh(8, sample_parallel=4)
+    k = sharded_samples_per_pass(16, 1000, mesh, 1 << 20)
+    assert k % 4 == 0 and 16 % k == 0
+
+
+@pytest.mark.parametrize("sample_parallel", [1, 2, 8])
+def test_sharded_render_statistically_matches_single(sample_parallel):
+    """The sharded render uses different per-device key folds, so images agree
+    statistically (same estimator, same spp), not bitwise."""
+    scene, cam, settings = _tiny()
+    mesh = make_mesh(8, sample_parallel=sample_parallel)
+    img_s = np.asarray(render_image_sharded(scene, cam, settings, mesh, seed=0))
+    img_1 = np.asarray(render_image(scene, cam, settings, seed=0))
+    assert img_s.shape == img_1.shape
+    assert np.isfinite(img_s).all()
+    # 8 spp Monte Carlo: loose but meaningful agreement on the mean image.
+    assert np.abs(img_s - img_1).mean() < 0.08
+    np.testing.assert_allclose(img_s.mean(), img_1.mean(), rtol=0.05)
+
+
+def test_sharded_render_deterministic():
+    scene, cam, settings = _tiny()
+    mesh = make_mesh(4, sample_parallel=2)
+    a = np.asarray(render_image_sharded(scene, cam, settings, mesh, seed=1))
+    b = np.asarray(render_image_sharded(scene, cam, settings, mesh, seed=1))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
