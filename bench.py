@@ -22,48 +22,37 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    from functools import partial
-
-    from raytracer_tpu.core.camera import camera_frame, camera_rays
-    from raytracer_tpu.integrator.wavefront import trace
-    from raytracer_tpu.render.driver import samples_per_pass_for
+    from raytracer_tpu.render.driver import render_regen
     from raytracer_tpu.scenes.registry import get_scene
 
     spp = int(os.environ.get("RT_BENCH_SPP", "64"))
     width = int(os.environ.get("RT_BENCH_WIDTH", "400"))
+    wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", str(1 << 20)))
     scene, cam, settings = get_scene("rand_spheres", width=width, spp=spp)
     w, h = settings.width, settings.height
     n = w * h
-    k = samples_per_pass_for(spp, n)
-    passes = spp // k
 
-    @partial(jax.jit, static_argnames=("k",))
-    def pass_fn(scene, cam, key, k):
-        frame = camera_frame(cam, w, h)
-        pix = jax.lax.broadcasted_iota(jnp.int32, (k * n, 1), 0)[:, 0] % n
-        kc, kt = jax.random.split(key)
-        uni = jax.random.uniform(kc, (k * n, 4), jnp.float32)
-        o, d = camera_rays(frame, pix % w, pix // w, uni)
-        rad, segs = trace(
-            scene, o, d, kt, cam.background,
-            max_depth=settings.max_depth, return_stats=True,
-        )
-        return rad.reshape(k, n, 3).sum(0), segs
-
+    kw = dict(
+        width=w,
+        height=h,
+        spp=spp,
+        wavefront_size=wavefront,
+        max_depth=settings.max_depth,
+        sky_gradient=False,
+        return_stats=True,
+    )
     key = jax.random.PRNGKey(0)
     # Warmup / compile.
-    img, segs = pass_fn(scene, cam, jax.random.fold_in(key, 999), k)
-    jax.block_until_ready(img)
+    img, segs, iters = render_regen(scene, cam, jax.random.fold_in(key, 999), **kw)
+    # NOTE: block_until_ready does not reliably block through the axon TPU
+    # tunnel; a host transfer is the only dependable sync point.
+    float(img.sum())
 
     t0 = time.perf_counter()
-    total_segments = 0
-    acc = jnp.zeros((n, 3), jnp.float32)
-    for p in range(passes):
-        out, segs = pass_fn(scene, cam, jax.random.fold_in(key, p), k)
-        acc = acc + out
-        total_segments += int(segs)
-    jax.block_until_ready(acc)
+    img, segs, iters = render_regen(scene, cam, key, **kw)
+    float(img.sum())
     dt = time.perf_counter() - t0
+    total_segments = int(segs)
 
     camera_rate = n * spp / dt
     traced_rate = total_segments / dt
@@ -77,6 +66,8 @@ def main() -> None:
                 "detail": {
                     "camera_mrays_per_s": round(camera_rate / 1e6, 3),
                     "avg_segments_per_camera_ray": round(total_segments / (n * spp), 2),
+                    "wavefront_iters": int(iters),
+                    "occupancy": round(total_segments / (int(iters) * wavefront), 3),
                     "size": [w, h],
                     "spp": spp,
                     "wall_s": round(dt, 3),

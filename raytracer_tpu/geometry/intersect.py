@@ -23,17 +23,21 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# TPU MXU matmuls default to bf16 passes for f32 inputs; hit t's need full f32
-# (bf16's ~3 significant digits visibly corrupts intersections — measured:
-# 1.7% t error on a 12-sphere scene; Cornell-box coordinates (~555) would be
-# far worse). HIGHEST forces the f32-accurate multi-pass mode; these matmuls
-# have K=3 so the extra passes are negligible next to the (N,K) epilogue.
-_DOT_PRECISION = jax.lax.Precision.HIGHEST
-
-
 def _dot_nk(a, b_t):
-    """(N,3) @ (3,K) at full f32 precision."""
-    return jnp.dot(a, b_t, precision=_DOT_PRECISION)
+    """(N,3) · (3,K) ray-feature dot products as VPU broadcast arithmetic.
+
+    Deliberately NOT a matmul: a K=3 contraction on the MXU pads K to 128
+    (wasting ~40x) and f32 inputs either round through bf16 (default —
+    measured 1.7% hit-t error, visibly wrong images) or pay the 6-pass
+    HIGHEST-precision mode (measured ~9x slower renders). Three broadcast
+    multiply-adds on the (N,K) domain are exact f32 and fuse with the
+    intersection epilogue into a single VPU pass.
+    """
+    return (
+        a[:, 0:1] * b_t[0][None, :]
+        + a[:, 1:2] * b_t[1][None, :]
+        + a[:, 2:3] * b_t[2][None, :]
+    )
 
 from raytracer_tpu.core import vecmath as vm
 from raytracer_tpu.geometry.scene import Scene

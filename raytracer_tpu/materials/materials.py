@@ -25,7 +25,7 @@ from raytracer_tpu.geometry.scene import (
     LAMBERTIAN,
     METAL,
 )
-from raytracer_tpu.materials.textures import eval_texture
+from raytracer_tpu.materials.textures import eval_texture_packed
 
 # Number of U[0,1) uniforms consumed per lane per bounce:
 # 2 for the unit-sphere sample (Lambertian diffuse dir / Metal fuzz),
@@ -42,7 +42,9 @@ class ScatterResult(NamedTuple):
     emitted: jnp.ndarray  # (N, 3) — emission at the hit (ray.go:41)
 
 
-def shade(scene: Scene, hit: HitRecord, ray_dir, uniforms) -> ScatterResult:
+def shade(
+    scene: Scene, hit: HitRecord, ray_dir, uniforms, packed=None
+) -> ScatterResult:
     """Compute emission and the scattered ray for every lane.
 
     Args:
@@ -51,18 +53,48 @@ def shade(scene: Scene, hit: HitRecord, ray_dir, uniforms) -> ScatterResult:
         callers mask with hit.hit).
       ray_dir: (N, 3) incoming ray directions (unnormalized, as traced).
       uniforms: (N, UNIFORMS_PER_BOUNCE) U[0,1).
+      packed: optional precomputed primitive_shading_table(scene) — pass it on
+        hot paths so the table is built once per trace, not per bounce.
+
+    All material/texture parameters come from ONE row gather on the packed
+    per-primitive table (see materials/packed.py for why).
 
     Mirrors Ray.GetColor's emit+scatter sequence (ray.go:41-50) with the four
     concrete materials (materials.go:19-119, 297-313).
     """
-    mid = hit.mat_id
-    mtype = scene.mat_type[mid]  # (N,)
+    from raytracer_tpu.materials.packed import (
+        COL_C0,
+        COL_C1,
+        COL_FUZZ,
+        COL_IOR,
+        COL_MTYPE,
+        COL_TIMAGE,
+        COL_TSCALE,
+        COL_TTYPE,
+        primitive_shading_table,
+    )
+
+    if packed is None:
+        packed = primitive_shading_table(scene)
+    row = packed[hit.prim_id]  # (N, N_COLS) — the single gather
+    mtype = row[:, COL_MTYPE].astype(jnp.int32)
     normal = hit.normal
     n = normal.shape[0]
 
+    # ---- texture color (albedo for Lambertian, emission for lights) --------
+    tex_color = eval_texture_packed(
+        scene,
+        row[:, COL_TTYPE],
+        row[:, COL_C0],
+        row[:, COL_C1],
+        row[:, COL_TSCALE],
+        row[:, COL_TIMAGE],
+        hit.u,
+        hit.v,
+        hit.point,
+    )
+
     # ---- emission (DiffuseLight.Emit, materials.go:311-313; others black) --
-    tex_id = scene.mat_tex[mid]
-    tex_color = eval_texture(scene, tex_id, hit.u, hit.v, hit.point)
     is_light = mtype == DIFFUSE_LIGHT
     emitted = jnp.where(is_light[..., None], tex_color, 0.0)
 
@@ -77,12 +109,12 @@ def shade(scene: Scene, hit: HitRecord, ray_dir, uniforms) -> ScatterResult:
 
     # ---- Metal (materials.go:60-75) ----------------------------------------
     reflected = vm.reflect(unit_dir, normal)
-    fuzz = scene.mat_fuzz[mid][..., None]
+    fuzz = row[:, COL_FUZZ][..., None]
     metal_dir = reflected + fuzz * sphere_sample
     metal_ok = vm.dot(metal_dir, normal) > 0.0  # absorbed otherwise
 
     # ---- Dielectric (materials.go:91-113) ----------------------------------
-    ior = scene.mat_ior[mid]
+    ior = row[:, COL_IOR]
     eta = jnp.where(hit.front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(vm.dot(-unit_dir, normal), 1.0)
     # Clip floor keeps sqrt' finite at normal incidence (cos == 1) — a zero
@@ -103,13 +135,10 @@ def shade(scene: Scene, hit: HitRecord, ray_dir, uniforms) -> ScatterResult:
         is_lamb, lamb_dir, jnp.where(is_metal, metal_dir, diel_dir)
     )
     attenuation = jnp.where(
-        is_lamb,
-        tex_color,  # Lambertian albedo texture (materials.go:40)
-        jnp.where(
-            is_metal,
-            scene.mat_albedo[mid],  # Metal flat albedo (materials.go:70)
-            jnp.where(is_diel, jnp.ones((n, 3), ray_dir.dtype), 0.0),
-        ),
+        is_lamb | is_metal,
+        tex_color,  # Lambertian albedo texture (materials.go:40); metal flat
+        # albedo rides the same packed color columns (materials.go:70)
+        jnp.where(is_diel, jnp.ones((n, 3), ray_dir.dtype), 0.0),
     )
     scattered = jnp.where(
         mtype == METAL,

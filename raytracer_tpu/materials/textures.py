@@ -117,46 +117,69 @@ def _image_lookup_bilinear(scene: Scene, img_id, u, v):
     return top * (1 - fy) + bot * fy
 
 
-def eval_texture(scene: Scene, tex_id, u, v, point, *, bilinear: bool = False):
-    """Evaluate texture color for each lane.
+def eval_texture_packed(
+    scene: Scene, ttype, c0, c1, scale, img_id, u, v, point, *, bilinear: bool = False
+):
+    """Evaluate texture color for each lane from *pre-gathered* per-lane
+    fields (see materials/packed.py — avoids per-field table gathers, which
+    dominate bounce time on TPU).
 
     Args:
-      tex_id: (N,) i32 texture indices.
+      ttype: (N,) texture type enum (float or int).
+      c0, c1: (N, 3) solid/checker colors.
+      scale: (N,) checker/noise scale.
+      img_id: (N,) image index (float or int).
       u, v: (N,) surface coordinates.
       point: (N, 3) world-space hit points (checker/noise are solid textures
         over the hit point, materials.go:127-137 / 285-288).
 
-    Returns (N, 3) colors. Dispatch via masked selects on tex_type.
+    Returns (N, 3) colors. Dispatch via masked selects on ttype; the static
+    scene.has_* flags skip kinds not present in the scene.
     """
-    ttype = scene.tex_type[tex_id]  # (N,)
-    color = scene.tex_c0[tex_id]  # solid color (materials.go:157-159)
+    ttype = ttype.astype(jnp.int32)
+    color = c0  # solid color (materials.go:157-159)
 
     if scene.has_checker:
         # materials.go:127-137: parity of summed floor(point / scale).
-        inv_scale = 1.0 / scene.tex_scale[tex_id][..., None]
+        inv_scale = 1.0 / scale[..., None]
         ipt = jnp.floor(inv_scale * point).astype(jnp.int32)
         parity = (ipt[:, 0] + ipt[:, 1] + ipt[:, 2]) % 2
-        checker = jnp.where(
-            (parity == 0)[..., None], scene.tex_c0[tex_id], scene.tex_c1[tex_id]
-        )
+        checker = jnp.where((parity == 0)[..., None], c0, c1)
         color = jnp.where((ttype == TEX_CHECKER)[..., None], checker, color)
 
     if scene.has_image:
-        img_id = scene.tex_image[tex_id]
+        iid = img_id.astype(jnp.int32)
         img = (
-            _image_lookup_bilinear(scene, img_id, u, v)
+            _image_lookup_bilinear(scene, iid, u, v)
             if bilinear
-            else _image_lookup(scene, img_id, u, v)
+            else _image_lookup(scene, iid, u, v)
         )
         color = jnp.where((ttype == TEX_IMAGE)[..., None], img, color)
 
     if scene.has_noise:
         # materials.go:285-288: marble — scale the point, then
         # 0.5 * (1 + sin(z + 10 * turb(p, 7))).
-        sp = point * scene.tex_scale[tex_id][..., None]
+        sp = point * scale[..., None]
         turb = perlin_turbulence(scene, sp, depth=7)
         val = 0.5 * (1.0 + jnp.sin(sp[:, 2] + 10.0 * turb))
         noise_col = jnp.broadcast_to(val[..., None], point.shape)
         color = jnp.where((ttype == TEX_NOISE)[..., None], noise_col, color)
 
     return color
+
+
+def eval_texture(scene: Scene, tex_id, u, v, point, *, bilinear: bool = False):
+    """Texture evaluation addressed by texture id (gathers each field; use
+    eval_texture_packed on hot paths)."""
+    return eval_texture_packed(
+        scene,
+        scene.tex_type[tex_id],
+        scene.tex_c0[tex_id],
+        scene.tex_c1[tex_id],
+        scene.tex_scale[tex_id],
+        scene.tex_image[tex_id],
+        u,
+        v,
+        point,
+        bilinear=bilinear,
+    )

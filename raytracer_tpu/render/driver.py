@@ -19,7 +19,7 @@ import numpy as np
 
 from raytracer_tpu.core.camera import Camera, RenderSettings, camera_frame, camera_rays
 from raytracer_tpu.geometry.scene import Scene
-from raytracer_tpu.integrator.wavefront import trace
+from raytracer_tpu.integrator.wavefront import render_wavefront_regen, trace
 from raytracer_tpu.render.postprocess import to_u8
 
 # Target wavefront size per pass; ~1M rays keeps the TPU busy while bounding
@@ -80,6 +80,54 @@ def render_pass(
     return per_pixel.reshape(height, width, 3)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "spp",
+        "wavefront_size",
+        "max_depth",
+        "sky_gradient",
+        "return_stats",
+    ),
+)
+def render_regen(
+    scene: Scene,
+    cam: Camera,
+    key,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    wavefront_size: int,
+    max_depth: int,
+    sky_gradient: bool,
+    return_stats: bool = False,
+):
+    """Full-image render via the regenerative wavefront (the production fast
+    path): one jit call traces the entire sample budget at ~full occupancy.
+    Returns mean radiance (H, W, 3) (+ (segments, iters) with stats)."""
+    frame = camera_frame(cam, width, height)
+    out = render_wavefront_regen(
+        scene,
+        frame,
+        cam.background,
+        width=width,
+        height=height,
+        spp=spp,
+        wavefront_size=wavefront_size,
+        key=key,
+        max_depth=max_depth,
+        sky_gradient=sky_gradient,
+        return_stats=return_stats,
+    )
+    if return_stats:
+        fb, segments, iters = out
+        return fb.reshape(height, width, 3) / jnp.float32(spp), segments, iters
+    return out.reshape(height, width, 3) / jnp.float32(spp)
+
+
 def render_image(
     scene: Scene,
     cam: Camera,
@@ -88,18 +136,37 @@ def render_image(
     seed: int = 0,
     target_rays_per_pass: int = DEFAULT_TARGET_RAYS_PER_PASS,
     progress: bool = False,
+    regenerative: bool = True,
 ) -> jnp.ndarray:
     """Render the full image; returns linear mean radiance (H, W, 3) f32.
 
     Equivalent of Camera.Render + GetPixelColor's spp averaging
     (camera.go:180-263), minus the output encoding (see postprocess/imgio).
+
+    regenerative=True (default) uses the path-regeneration wavefront (fast);
+    False uses the simple pass loop (reference implementation, also the
+    shape the differentiable path uses).
     """
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
     n = w * h
+    key = jax.random.PRNGKey(seed)
+
+    if regenerative:
+        wavefront = int(min(max(n, 1 << 16), target_rays_per_pass))
+        return render_regen(
+            scene,
+            cam,
+            key,
+            width=w,
+            height=h,
+            spp=spp,
+            wavefront_size=wavefront,
+            max_depth=settings.max_depth,
+            sky_gradient=settings.sky_gradient,
+        )
+
     k = samples_per_pass_for(spp, n, target_rays_per_pass)
     passes = spp // k
-
-    key = jax.random.PRNGKey(seed)
     acc = jnp.zeros((h, w, 3), jnp.float32)
     for p in range(passes):
         acc = acc + render_pass(
