@@ -164,7 +164,7 @@ def trace(
 
 
 class RegenState(NamedTuple):
-    """Carry for the regenerative wavefront loop."""
+    """Carry for the regenerative wavefront loop (strided-dynamic)."""
 
     origin: jnp.ndarray  # (N, 3)
     direction: jnp.ndarray  # (N, 3)
@@ -172,9 +172,13 @@ class RegenState(NamedTuple):
     radiance: jnp.ndarray  # (N, 3) — current path's accumulated radiance
     active: jnp.ndarray  # (N,) bool — lane has a path in flight
     depth: jnp.ndarray  # (N,) i32 — current path's bounce count
-    pixel: jnp.ndarray  # (N,) i32 — current path's pixel id
-    fb: jnp.ndarray  # (n_pixels, 3) framebuffer of radiance sums
-    next_sample: jnp.ndarray  # () i32 — samples started so far
+    px: jnp.ndarray  # (N,) i32 — pixel column (updated incrementally)
+    py: jnp.ndarray  # (N,) i32 — pixel row
+    remaining: jnp.ndarray  # (N,) i32 — samples this lane still owes
+    sample_k: jnp.ndarray  # (N,) i32 — index of the lane's current sample
+    log: jnp.ndarray  # (3, K, N) — per-(sample-slot, lane) retired radiance
+    # (channel-major layout: the minor dim must be the lane axis — a minor
+    # dim of 3 would pad to the 128-lane tile and blow memory up 42x)
     key: jnp.ndarray
     segments: jnp.ndarray  # () i32 — total segments traced (perf metric)
     iters: jnp.ndarray  # () i32 — loop iterations (occupancy metric)
@@ -200,18 +204,33 @@ def render_wavefront_regen(
     whose path terminates immediately starts the next camera sample, keeping
     occupancy near 100%.
 
+    Why: the plain batched loop runs until the LAST path dies — at depth 50
+    with ~2.9 average segments per path that is ~6% average occupancy
+    (measured). Regeneration is the standard wavefront-path-tracing fix
+    (SURVEY.md §5 "long-context analog"): total iterations collapse from
+    max_depth to ≈ total_segments / wavefront_size + a straggler tail.
+
+    Work distribution is a *strided per-lane sample queue*: lane L owns
+    sample ids L, L+N, L+2N, ... (< n_pixels*spp), so there is no global
+    counter (no cumsum) and no in-loop integer div/mod — the lane's pixel
+    advances by the constant jump N mod n_pixels with add/compare/subtract
+    updates. The jumping pixel binding also load-balances per-pixel path
+    difficulty across lanes (a fixed lane->pixel binding measured 2.7x more
+    loop iterations: lanes stuck on glass-heavy pixels straggle).
+
+    Retirement is scatter-free: sample k of lane L lands in a dense
+    (3, K, N) log at [:, k, L] via a masked add (bandwidth-bound, ~2 ms/iter at
+    1M lanes vs ~21 ms for a framebuffer scatter-add). Because
+    pixel(L, k) = (L + k*N) mod n is affine, the log folds into the
+    framebuffer *densely* afterwards: for each slot k, chunk-sum the lane
+    axis modulo n and rotate by (k*N) mod n.
+
     russian_roulette: after `rr_start_depth` bounces, paths survive with
     probability q = clamp(max(throughput), 0.05, 0.95) and are reweighted by
     1/q — an *unbiased* tail trim (the expectation equals the reference's
     depth-capped estimator exactly; only variance changes). Mostly matters
     for dielectric paths whose throughput never attenuates (materials.go:111
     attenuation = (1,1,1)) and would otherwise ride out all 50 bounces.
-
-    Why: the plain batched loop runs until the LAST path dies — at depth 50
-    with ~2.9 average segments per path that is ~6% average occupancy
-    (measured). Regeneration is the standard wavefront-path-tracing fix
-    (SURVEY.md §5 "long-context analog"): total iterations collapse from
-    max_depth to ≈ total_segments / wavefront_size + a straggler tail.
 
     The per-lane camera sampling and bounce math are identical to
     trace()/render_pass, so images agree in distribution (same estimator).
@@ -224,26 +243,47 @@ def render_wavefront_regen(
 
     n_pixels = width * height
     total_samples = n_pixels * spp
-    n = wavefront_size
+    n = min(wavefront_size, total_samples)
+    # Lane count with a nonzero pixel jump (a zero jump would statically bind
+    # lanes to pixels and break load balancing).
+    if n % n_pixels == 0 and total_samples > n:
+        n += 128
+    num_slots = -(-total_samples // n)  # ceil: max samples per lane
     dtype = jnp.float32
     packed = primitive_shading_table(scene)
+
+    # Strided schedule constants (python ints -> baked into the kernel).
+    jump = n % n_pixels  # pixel advance per regeneration
+    jump_px = jump % width
+    jump_py = jump // width
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    init_remaining = (total_samples - lane + n - 1) // n  # ceil((T-L)/N)
+    init_pixel = lane % n_pixels
+    init_px = init_pixel % width
+    init_py = init_pixel // width
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (num_slots, 1), 0)  # (K,1)
 
     def body(s: RegenState) -> RegenState:
         key, k_regen, k_bounce, k_rr = jax.random.split(s.key, 4)
 
-        # ---- regeneration phase: idle lanes claim the next sample ids ----
-        want = ~s.active
-        rank = jnp.cumsum(want.astype(jnp.int32)) - 1
-        sample_id = s.next_sample + rank
-        grant = want & (sample_id < total_samples)
-        # Sample-major interleave: consecutive ids sweep the image, so lanes
-        # regenerated together trace coherent pixels.
-        new_pixel = sample_id % n_pixels
-        pixel = jnp.where(grant, new_pixel, s.pixel)
+        # ---- regeneration phase: idle lanes owing samples restart ----
+        grant = ~s.active & (s.remaining > 0)
+        first = s.remaining == init_remaining
+        # Advance this lane's pixel by the stride jump (no div/mod).
+        px_adv = s.px + jump_px
+        py_adv = s.py + jump_py
+        carry = px_adv >= width
+        px_adv = jnp.where(carry, px_adv - width, px_adv)
+        py_adv = jnp.where(carry, py_adv + 1, py_adv)
+        wrap = py_adv >= height
+        py_adv = jnp.where(wrap, py_adv - height, py_adv)
+        px = jnp.where(grant, jnp.where(first, init_px, px_adv), s.px)
+        py = jnp.where(grant, jnp.where(first, init_py, py_adv), s.py)
+        sample_k = jnp.where(grant, s.sample_k + 1, s.sample_k)
+
         cam_uni = jax.random.uniform(k_regen, (n, 4), dtype)
-        cam_o, cam_d = camera_rays(
-            frame, pixel % width, pixel // width, cam_uni
-        )
+        cam_o, cam_d = camera_rays(frame, px, py, cam_uni)
         g3 = grant[:, None]
         origin = jnp.where(g3, cam_o, s.origin)
         direction = jnp.where(g3, cam_d, s.direction)
@@ -251,7 +291,7 @@ def render_wavefront_regen(
         radiance = jnp.where(g3, 0.0, s.radiance)
         depth = jnp.where(grant, 0, s.depth)
         active = s.active | grant
-        next_sample = s.next_sample + jnp.sum(grant.astype(jnp.int32))
+        remaining = s.remaining - grant.astype(jnp.int32)
 
         # ---- one bounce (identical math to _bounce_step) ----
         hit = intersect_scene(scene, origin, direction)
@@ -284,11 +324,10 @@ def render_wavefront_regen(
         origin = jnp.where(survives[:, None], hit.point, origin)
         direction = jnp.where(survives[:, None], scat.direction, direction)
 
-        # ---- retire finished paths into the framebuffer ----
+        # ---- retire finished paths into the dense per-slot log ----
         finished = active & ~survives
-        fb = s.fb.at[pixel].add(
-            jnp.where(finished[:, None], radiance, 0.0), mode="drop"
-        )
+        slot_mask = (slot_ids == sample_k[None, :]) & finished[None, :]  # (K, N)
+        log = s.log + slot_mask[None, :, :] * radiance.T[:, None, :]
         return RegenState(
             origin=origin,
             direction=direction,
@@ -296,9 +335,11 @@ def render_wavefront_regen(
             radiance=radiance,
             active=survives,
             depth=depth,
-            pixel=pixel,
-            fb=fb,
-            next_sample=next_sample,
+            px=px,
+            py=py,
+            remaining=remaining,
+            sample_k=sample_k,
+            log=log,
             key=key,
             segments=s.segments + jnp.sum(active.astype(jnp.int32)),
             iters=s.iters + 1,
@@ -311,18 +352,32 @@ def render_wavefront_regen(
         radiance=jnp.zeros((n, 3), dtype),
         active=jnp.zeros((n,), bool),
         depth=jnp.zeros((n,), jnp.int32),
-        pixel=jnp.zeros((n,), jnp.int32),
-        fb=jnp.zeros((n_pixels, 3), dtype),
-        next_sample=jnp.int32(0),
+        px=init_px,
+        py=init_py,
+        remaining=init_remaining.astype(jnp.int32),
+        sample_k=jnp.full((n,), -1, jnp.int32),
+        log=jnp.zeros((3, num_slots, n), dtype),
         key=key,
         segments=jnp.int32(0),
         iters=jnp.int32(0),
     )
     final = jax.lax.while_loop(
-        lambda s: (s.next_sample < total_samples) | jnp.any(s.active),
+        lambda s: jnp.any(s.active | (s.remaining > 0)),
         body,
         init,
     )
+
+    # ---- fold the log into the framebuffer (all dense) ----
+    # Slot k, lane L -> pixel (L + k*N) mod n_pixels: chunk-sum lanes modulo
+    # n_pixels, then rotate by the slot's constant offset.
+    chunks = -(-n // n_pixels)
+    pad = chunks * n_pixels - n
+    log = jnp.pad(final.log, ((0, 0), (0, 0), (0, pad)))
+    per_slot = log.reshape(3, num_slots, chunks, n_pixels).sum(axis=2)  # (3,K,n)
+    fb = jnp.zeros((n_pixels, 3), dtype)
+    for k in range(num_slots):
+        offset = (k * n) % n_pixels
+        fb = fb + jnp.roll(per_slot[:, k, :].T, offset, axis=0)
     if return_stats:
-        return final.fb, final.segments, final.iters
-    return final.fb
+        return fb, final.segments, final.iters
+    return fb

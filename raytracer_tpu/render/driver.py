@@ -153,17 +153,31 @@ def render_image(
 
     if regenerative:
         wavefront = int(min(max(n, 1 << 16), target_rays_per_pass))
-        return render_regen(
-            scene,
-            cam,
-            key,
-            width=w,
-            height=h,
-            spp=spp,
-            wavefront_size=wavefront,
-            max_depth=settings.max_depth,
-            sky_gradient=settings.sky_gradient,
-        )
+        # Bound the regen retirement log (3, K, N): K = ceil(n*spp_chunk/N).
+        # Keep K <= 64 (~768 MB at N=1M) by chunking the spp budget.
+        max_slots = 64
+        spp_chunk = max(1, min(spp, (max_slots * wavefront) // max(1, n)))
+        acc = jnp.zeros((h, w, 3), jnp.float32)
+        done = 0
+        chunk_idx = 0
+        while done < spp:
+            step_spp = min(spp_chunk, spp - done)
+            acc = acc + render_regen(
+                scene,
+                cam,
+                jax.random.fold_in(key, chunk_idx),
+                width=w,
+                height=h,
+                spp=step_spp,
+                wavefront_size=wavefront,
+                max_depth=settings.max_depth,
+                sky_gradient=settings.sky_gradient,
+            ) * jnp.float32(step_spp)
+            done += step_spp
+            chunk_idx += 1
+            if progress:
+                print(f"spp {done}/{spp}", flush=True)
+        return acc / jnp.float32(spp)
 
     k = samples_per_pass_for(spp, n, target_rays_per_pass)
     passes = spp // k
