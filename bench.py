@@ -39,6 +39,7 @@ def main() -> None:
         wavefront_size=wavefront,
         max_depth=settings.max_depth,
         sky_gradient=False,
+        use_pallas=os.environ.get("RT_BENCH_PALLAS", "1") == "1",
         return_stats=True,
     )
     key = jax.random.PRNGKey(0)

@@ -178,31 +178,15 @@ def _sphere_uv(unit_normal):
     return u, v
 
 
-def intersect_scene(
-    scene: Scene, origin, direction, t_min: float = DEFAULT_T_MIN
-) -> HitRecord:
-    """Closest hit over all primitives for a batch of rays.
-
-    Args:
-      scene: Scene tables.
-      origin, direction: (N, 3) f32; direction unnormalized (reference keeps
-        camera directions unnormalized, camera.go:283-286).
-      t_min: open-interval lower bound (ray.go:38).
-
-    Returns a HitRecord. Equivalent to World.Hit's shrinking linear scan
-    (hittables.go:55-72) / BVH.Hit (bvh.go:220-249) — both return the same
-    closest hit; here it is one masked min over the primitive axis.
-    """
+def resolve_hits(scene: Scene, qd: QuadDerived, origin, direction, t, prim) -> HitRecord:
+    """Epilogue shared by the dense and Pallas candidate searches: given the
+    winning (t, prim) per ray, compute point/normal/uv/material/front-face.
+    All per-winner quantities are recomputed from gathered primitive rows
+    (N-sized work; no (N, S) buffers)."""
     ns = scene.num_spheres
-    t_s = _sphere_candidate_t(scene, origin, direction, t_min)  # (N, S)
-    qd = quad_derived(scene)
-    t_q, alpha, beta = _quad_candidate_t(scene, qd, origin, direction, t_min)
-
-    t_all = jnp.concatenate([t_s, t_q], axis=1)  # (N, S+Q)
-    prim = jnp.argmin(t_all, axis=1).astype(jnp.int32)  # (N,)
-    t = jnp.min(t_all, axis=1)
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
+    prim = jnp.where(hit, prim, 0)
 
     is_quad = prim >= ns
     sidx = jnp.minimum(prim, ns - 1)
@@ -218,9 +202,11 @@ def intersect_scene(
     s_out = vm.normalize((point - s_center) * s_radius[..., None], eps=1e-20)
     s_u, s_v = _sphere_uv(s_out)
 
+    # Quad UV: alpha = p·av - Q·av, beta = p·bv - Q·bv (hittables.go:183-186,
+    # via the triple-product identity — see quad_derived).
     q_out = qd.normal[qidx]
-    q_u = jnp.take_along_axis(alpha, qidx[:, None], axis=1)[:, 0]
-    q_v = jnp.take_along_axis(beta, qidx[:, None], axis=1)[:, 0]
+    q_u = vm.dot(point, qd.av[qidx]) - qd.q_av[qidx]
+    q_v = vm.dot(point, qd.bv[qidx]) - qd.q_bv[qidx]
 
     outward = jnp.where(is_quad[..., None], q_out, s_out)
     u = jnp.where(is_quad, q_u, s_u)
@@ -242,3 +228,43 @@ def intersect_scene(
         mat_id=mat_id,
         prim_id=prim,
     )
+
+
+def intersect_scene_pallas(
+    scene: Scene, origin, direction, t_min: float = DEFAULT_T_MIN
+) -> HitRecord:
+    """Closest hit via the fused Pallas kernel (ops/intersect_kernel.py);
+    requires N % (rows*128) == 0 and a TPU backend. Same results as
+    intersect_scene (oracle-tested)."""
+    from raytracer_tpu.ops import intersect_kernel as ik
+
+    qd = quad_derived(scene)
+    sph_table = ik.pack_sphere_table(scene.sph_center, scene.sph_radius)
+    quad_table = ik.pack_quad_table(qd)
+    t, prim = ik.intersect_pallas(sph_table, quad_table, origin, direction)
+    return resolve_hits(scene, qd, origin, direction, t, prim)
+
+
+def intersect_scene(
+    scene: Scene, origin, direction, t_min: float = DEFAULT_T_MIN
+) -> HitRecord:
+    """Closest hit over all primitives for a batch of rays.
+
+    Args:
+      scene: Scene tables.
+      origin, direction: (N, 3) f32; direction unnormalized (reference keeps
+        camera directions unnormalized, camera.go:283-286).
+      t_min: open-interval lower bound (ray.go:38).
+
+    Returns a HitRecord. Equivalent to World.Hit's shrinking linear scan
+    (hittables.go:55-72) / BVH.Hit (bvh.go:220-249) — both return the same
+    closest hit; here it is one masked min over the primitive axis.
+    """
+    t_s = _sphere_candidate_t(scene, origin, direction, t_min)  # (N, S)
+    qd = quad_derived(scene)
+    t_q, _, _ = _quad_candidate_t(scene, qd, origin, direction, t_min)
+
+    t_all = jnp.concatenate([t_s, t_q], axis=1)  # (N, S+Q)
+    prim = jnp.argmin(t_all, axis=1).astype(jnp.int32)  # (N,)
+    t = jnp.min(t_all, axis=1)
+    return resolve_hits(scene, qd, origin, direction, t, prim)

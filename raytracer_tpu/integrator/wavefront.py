@@ -198,6 +198,7 @@ def render_wavefront_regen(
     sky_gradient: bool = False,
     russian_roulette: bool = True,
     rr_start_depth: int = 8,
+    use_pallas: bool = False,
     return_stats: bool = False,
 ):
     """Render with *path regeneration*: a fixed-size wavefront where a lane
@@ -241,14 +242,38 @@ def render_wavefront_regen(
     """
     from raytracer_tpu.core.camera import camera_rays  # local: avoid cycle
 
+    from raytracer_tpu.geometry.intersect import (
+        intersect_scene as _intersect_dense,
+        quad_derived,
+        resolve_hits,
+    )
+    from raytracer_tpu.ops import intersect_kernel as ik
+
     n_pixels = width * height
     total_samples = n_pixels * spp
+    # Pallas tiles are rows*128 rays; keep the wavefront a multiple of one
+    # tile (harmless for the jnp path).
+    tile = ik.DEFAULT_ROWS * ik.LANES
     n = min(wavefront_size, total_samples)
+    n = -(-n // tile) * tile
     # Lane count with a nonzero pixel jump (a zero jump would statically bind
     # lanes to pixels and break load balancing).
     if n % n_pixels == 0 and total_samples > n:
-        n += 128
+        n += tile
     num_slots = -(-total_samples // n)  # ceil: max samples per lane
+
+    qd = quad_derived(scene)
+    if use_pallas:
+        sph_table = ik.pack_sphere_table(scene.sph_center, scene.sph_radius)
+        quad_table = ik.pack_quad_table(qd)
+
+        def intersect(o, d):
+            t, prim = ik.intersect_pallas(sph_table, quad_table, o, d)
+            return resolve_hits(scene, qd, o, d, t, prim)
+
+    else:
+        def intersect(o, d):
+            return _intersect_dense(scene, o, d)
     dtype = jnp.float32
     packed = primitive_shading_table(scene)
 
@@ -258,7 +283,8 @@ def render_wavefront_regen(
     jump_py = jump // width
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    init_remaining = (total_samples - lane + n - 1) // n  # ceil((T-L)/N)
+    # ceil((T-L)/N), clamped: padding lanes beyond the budget own 0 samples.
+    init_remaining = jnp.maximum((total_samples - lane + n - 1) // n, 0)
     init_pixel = lane % n_pixels
     init_px = init_pixel % width
     init_py = init_pixel // width
@@ -294,7 +320,7 @@ def render_wavefront_regen(
         remaining = s.remaining - grant.astype(jnp.int32)
 
         # ---- one bounce (identical math to _bounce_step) ----
-        hit = intersect_scene(scene, origin, direction)
+        hit = intersect(origin, direction)
         if sky_gradient:
             bg = sky_color(direction)
         else:

@@ -1,0 +1,1 @@
+"""Pallas TPU kernels (the native compute tier of the framework)."""

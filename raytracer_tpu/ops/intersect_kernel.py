@@ -1,0 +1,204 @@
+"""Pallas TPU kernel: fused closest-hit ray-scene intersection.
+
+The jnp dense path (geometry/intersect.py) materializes (N, S) candidate
+matrices in HBM; this kernel keeps the whole reduction in VMEM: each grid
+program owns a (ROWS, 128) tile of rays, loops over the scene's primitives
+with their parameters broadcast from SMEM scalars, and carries only the
+running best (t, prim) per lane. Scene tables ride in scalar-prefetch SMEM
+(hundreds of f32 scalars — tiny).
+
+Math identical to geometry/intersect.py (and therefore to the reference
+hittables.go:96-132, 167-194): half-b quadratic with expanded |o-c|^2 and
+strict open-interval root selection; quad plane/basis test via the
+precomputed av/bv triple-product vectors.
+
+Dummy/padded rows are encoded in the tables themselves: a padded sphere has
+c2r2 = +1e30 (drives the discriminant negative -> never hits) and a padded
+quad has a zero normal (|n.d| < 1e-8 -> never hits), so the kernel needs no
+validity masks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+DEFAULT_ROWS = 64  # rays per program = ROWS * LANES
+# Plain Python floats: jnp scalars here would be captured tracer constants,
+# which pallas kernels reject.
+INF = float("inf")
+T_MIN = 1e-3
+QUAD_DENOM_EPS = 1e-8
+
+
+def _intersect_kernel(
+    ns_ref,  # () i32 SMEM — number of spheres
+    nq_ref,  # () i32 SMEM — number of quads
+    sph_ref,  # (S, 4) f32 SMEM — cx, cy, cz, |c|^2 - r^2 (1e30 for dummies)
+    quad_ref,  # (Q, 12) f32 SMEM — nx,ny,nz,D,avx,avy,avz,bvx,bvy,bvz,qav,qbv
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (ROWS, 128) f32 VMEM
+    t_ref,  # (ROWS, 128) f32 VMEM out
+    prim_ref,  # (ROWS, 128) i32 VMEM out
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    d_dot_o = dx * ox + dy * oy + dz * oz
+    o_sq = ox * ox + oy * oy + oz * oz
+
+    shape = ox.shape
+    t0_best = jnp.full(shape, INF)
+    prim_best = jnp.full(shape, -1, jnp.int32)
+
+    def sphere_body(i, carry):
+        t_best, p_best = carry
+        cx = sph_ref[i, 0]
+        cy = sph_ref[i, 1]
+        cz = sph_ref[i, 2]
+        c2r2 = sph_ref[i, 3]
+        d_dot_c = dx * cx + dy * cy + dz * cz
+        o_dot_c = ox * cx + oy * cy + oz * cz
+        half_b = d_dot_o - d_dot_c
+        c = o_sq - 2.0 * o_dot_c + c2r2
+        disc = half_b * half_b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-half_b - sq) * inv_a
+        t1 = (-half_b + sq) * inv_a
+        feasible = disc >= 0.0
+        t0 = jnp.where(feasible & (t0 > T_MIN), t0, INF)
+        t1 = jnp.where(feasible & (t1 > T_MIN), t1, INF)
+        t_cand = jnp.minimum(t0, t1)
+        better = t_cand < t_best
+        return jnp.where(better, t_cand, t_best), jnp.where(better, i, p_best)
+
+    t_best, prim_best = jax.lax.fori_loop(
+        0, ns_ref[0], sphere_body, (t0_best, prim_best)
+    )
+
+    ns = ns_ref[0]
+
+    def quad_body(qi, carry):
+        t_best, p_best = carry
+        nx = quad_ref[qi, 0]
+        ny = quad_ref[qi, 1]
+        nz = quad_ref[qi, 2]
+        dplane = quad_ref[qi, 3]
+        d_n = dx * nx + dy * ny + dz * nz
+        o_n = ox * nx + oy * ny + oz * nz
+        denom_ok = jnp.abs(d_n) >= QUAD_DENOM_EPS
+        safe_dn = jnp.where(denom_ok, d_n, 1.0)
+        t = (dplane - o_n) / safe_dn
+        avx = quad_ref[qi, 4]
+        avy = quad_ref[qi, 5]
+        avz = quad_ref[qi, 6]
+        alpha = (
+            (ox * avx + oy * avy + oz * avz)
+            + t * (dx * avx + dy * avy + dz * avz)
+            - quad_ref[qi, 10]
+        )
+        bvx = quad_ref[qi, 7]
+        bvy = quad_ref[qi, 8]
+        bvz = quad_ref[qi, 9]
+        beta = (
+            (ox * bvx + oy * bvy + oz * bvz)
+            + t * (dx * bvx + dy * bvy + dz * bvz)
+            - quad_ref[qi, 11]
+        )
+        ok = (
+            denom_ok
+            & (t > T_MIN)
+            & (alpha >= 0.0)
+            & (alpha <= 1.0)
+            & (beta >= 0.0)
+            & (beta <= 1.0)
+        )
+        t_cand = jnp.where(ok, t, INF)
+        better = t_cand < t_best
+        return (
+            jnp.where(better, t_cand, t_best),
+            jnp.where(better, ns + qi, p_best),
+        )
+
+    t_best, prim_best = jax.lax.fori_loop(
+        0, nq_ref[0], quad_body, (t_best, prim_best)
+    )
+
+    t_ref[:] = t_best
+    prim_ref[:] = prim_best
+
+
+def pack_sphere_table(sph_center, sph_radius) -> jnp.ndarray:
+    """(S, 4): cx, cy, cz, |c|^2 - r^2; dummy rows (radius == 0) get +1e30."""
+    c2r2 = jnp.sum(sph_center * sph_center, -1) - sph_radius * sph_radius
+    c2r2 = jnp.where(sph_radius == 0.0, 1e30, c2r2)
+    return jnp.concatenate([sph_center, c2r2[:, None]], axis=1)
+
+
+def pack_quad_table(qd) -> jnp.ndarray:
+    """(Q, 12) from geometry.intersect.QuadDerived (dummy rows have n = 0)."""
+    return jnp.concatenate(
+        [
+            qd.normal,
+            qd.d[:, None],
+            qd.av,
+            qd.bv,
+            qd.q_av[:, None],
+            qd.q_bv[:, None],
+        ],
+        axis=1,
+    )
+
+
+@partial(jax.jit, static_argnames=("rows",))
+def intersect_pallas(sph_table, quad_table, origin, direction, rows: int = DEFAULT_ROWS):
+    """Closest hit for a flat ray batch.
+
+    Args:
+      sph_table: (S, 4) from pack_sphere_table.
+      quad_table: (Q, 12) from pack_quad_table.
+      origin, direction: (N, 3) f32 with N a multiple of rows * 128.
+
+    Returns (t (N,) f32 with +inf miss, prim (N,) i32 with -1 miss; sphere
+    ids first, then quads offset by S).
+    """
+    n = origin.shape[0]
+    tile = rows * LANES
+    assert n % tile == 0, (n, tile)
+    grid = n // tile
+
+    def planar(x):
+        return x.reshape(n // LANES, LANES)
+
+    comps = [planar(origin[:, i]) for i in range(3)] + [
+        planar(direction[:, i]) for i in range(3)
+    ]
+    ns = jnp.asarray([sph_table.shape[0]], jnp.int32)
+    nq = jnp.asarray([quad_table.shape[0]], jnp.int32)
+
+    # index_map receives (grid_idx, *scalar_prefetch_refs).
+    ray_spec = pl.BlockSpec(
+        (rows, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(grid,),
+        in_specs=[ray_spec] * 6,
+        out_specs=[ray_spec, ray_spec],
+    )
+    t, prim = pl.pallas_call(
+        _intersect_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
+        ],
+    )(ns, nq, sph_table, quad_table, *comps)
+    return t.reshape(n), prim.reshape(n)

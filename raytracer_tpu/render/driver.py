@@ -89,6 +89,7 @@ def render_pass(
         "wavefront_size",
         "max_depth",
         "sky_gradient",
+        "use_pallas",
         "return_stats",
     ),
 )
@@ -103,6 +104,7 @@ def render_regen(
     wavefront_size: int,
     max_depth: int,
     sky_gradient: bool,
+    use_pallas: bool = False,
     return_stats: bool = False,
 ):
     """Full-image render via the regenerative wavefront (the production fast
@@ -120,6 +122,7 @@ def render_regen(
         key=key,
         max_depth=max_depth,
         sky_gradient=sky_gradient,
+        use_pallas=use_pallas,
         return_stats=return_stats,
     )
     if return_stats:
@@ -152,6 +155,7 @@ def render_image(
     key = jax.random.PRNGKey(seed)
 
     if regenerative:
+        use_pallas = jax.default_backend() == "tpu"
         wavefront = int(min(max(n, 1 << 16), target_rays_per_pass))
         # Bound the regen retirement log (3, K, N): K = ceil(n*spp_chunk/N).
         # Keep K <= 64 (~768 MB at N=1M) by chunking the spp budget.
@@ -172,6 +176,7 @@ def render_image(
                 wavefront_size=wavefront,
                 max_depth=settings.max_depth,
                 sky_gradient=settings.sky_gradient,
+                use_pallas=use_pallas,
             ) * jnp.float32(step_spp)
             done += step_spp
             chunk_idx += 1
