@@ -82,13 +82,28 @@ def primitive_bounds(scene: Scene) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-def build_bvh(scene: Scene, leaf_size: int = 4) -> FlatBVH:
-    """Top-down longest-axis median-split build (host, NumPy).
+def build_bvh(scene: Scene, leaf_size: int = 4, use_native: bool = True) -> FlatBVH:
+    """Top-down longest-axis median-split build (host).
 
     Equivalent role to NewBVH (bvh.go:142-185); deterministic axis choice
     instead of rand.Intn(3) (bvh.go:147) — only hit results matter
-    (SURVEY.md §3.5)."""
+    (SURVEY.md §3.5). Prefers the C++ builder (cpp/raytpu_native.cc, byte-
+    identical output) and falls back to NumPy."""
     bmin, bmax = primitive_bounds(scene)
+    if use_native:
+        from raytracer_tpu import native
+
+        out = native.build_bvh_native(bmin, bmax, leaf_size)
+        if out is not None:
+            bm, bx, sk, ls, lc, po = out
+            return FlatBVH(
+                box_min=jnp.asarray(bm),
+                box_max=jnp.asarray(bx),
+                skip=jnp.asarray(sk),
+                leaf_start=jnp.asarray(ls),
+                leaf_count=jnp.asarray(lc),
+                prim_order=jnp.asarray(po),
+            )
     valid = np.isfinite(bmin[:, 0])
     prims = np.flatnonzero(valid)
     if prims.size == 0:

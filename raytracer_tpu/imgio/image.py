@@ -22,8 +22,14 @@ except Exception:  # pragma: no cover
 def write_ppm(path: str, img_u8: np.ndarray) -> None:
     """Write a P3 (ASCII) PPM exactly like the reference: 'P3\\nW H\\n255\\n'
     header (camera.go:183-191) then one 'r g b' triple per line
-    (vec3.go:141-143, joined with newlines camera.go:224-247)."""
+    (vec3.go:141-143, joined with newlines camera.go:224-247).
+
+    Uses the C++ native encoder when available (same bytes; tested)."""
     img_u8 = np.asarray(img_u8)
+    from raytracer_tpu import native
+
+    if native.write_ppm_native(path, img_u8):
+        return
     h, w, _ = img_u8.shape
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = img_u8.reshape(-1, 3)
