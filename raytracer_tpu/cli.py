@@ -28,6 +28,11 @@ def main(argv=None) -> None:
     ap.add_argument("--spp", type=int, default=None)
     ap.add_argument("--max-depth", type=int, default=None)
     ap.add_argument("--profile", action="store_true", help="jax.profiler trace to out/trace")
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="checkpoint file; resumes from it if present (fail-stop + rerun)",
+    )
     args = ap.parse_args(argv)
 
     overrides = {}
@@ -40,19 +45,29 @@ def main(argv=None) -> None:
 
     scene, cam, settings = get_scene(args.scene, args.seed, **overrides)
 
-    if args.profile:
-        import jax
-
-        jax.profiler.start_trace("out/trace")
+    from raytracer_tpu.utils.metrics import profiler_trace
 
     t0 = time.perf_counter()
-    img = render_scene(scene, cam, settings, seed=args.seed, progress=True)
+    with profiler_trace("out/trace" if args.profile else None):
+        if args.checkpoint:
+            import numpy as np
+            import jax as _jax
+
+            from raytracer_tpu.render.checkpoint import render_with_checkpoints
+            from raytracer_tpu.render.postprocess import to_u8
+
+            linear = render_with_checkpoints(
+                scene,
+                cam,
+                settings,
+                seed=args.seed,
+                checkpoint_path=args.checkpoint,
+                progress=True,
+            )
+            img = np.asarray(_jax.device_get(to_u8(linear)))
+        else:
+            img = render_scene(scene, cam, settings, seed=args.seed, progress=True)
     dt = time.perf_counter() - t0
-
-    if args.profile:
-        import jax
-
-        jax.profiler.stop_trace()
 
     if args.out.endswith(".ppm"):
         write_ppm(args.out, img)

@@ -1,0 +1,67 @@
+"""Checkpoint/resume determinism: interrupted + resumed == uninterrupted."""
+
+import numpy as np
+
+from raytracer_tpu.core.camera import make_camera
+from raytracer_tpu.geometry.scene import SceneBuilder
+from raytracer_tpu.render.checkpoint import (
+    load_checkpoint,
+    render_with_checkpoints,
+)
+
+
+def _setup():
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian((0.6, 0.3, 0.2)))
+    b.add_sphere((0, -101, -3), 100.0, b.metal((0.8, 0.8, 0.8), 0.2))
+    cam, settings = make_camera(
+        16 / 9, 40, samples_per_pixel=8, max_depth=5, background=(0.7, 0.8, 1.0)
+    )
+    return b.build(), cam, settings
+
+
+def test_resume_is_bit_identical(tmp_path):
+    scene, cam, settings = _setup()
+    ckpt = str(tmp_path / "render.ckpt.npz")
+
+    full = np.asarray(
+        render_with_checkpoints(scene, cam, settings, seed=3, spp_per_chunk=2)
+    )
+
+    # Interrupt after 2 chunks (4/8 spp), then resume.
+    partial = np.asarray(
+        render_with_checkpoints(
+            scene, cam, settings, seed=3, spp_per_chunk=2,
+            checkpoint_path=ckpt, max_chunks=2,
+        )
+    )
+    ck = load_checkpoint(ckpt)
+    assert ck is not None and ck.done_spp == 4
+    assert np.isfinite(partial).all()
+
+    resumed = np.asarray(
+        render_with_checkpoints(
+            scene, cam, settings, seed=3, spp_per_chunk=2, checkpoint_path=ckpt
+        )
+    )
+    np.testing.assert_array_equal(resumed, full)
+    ck = load_checkpoint(ckpt)
+    assert ck.done_spp == 8
+
+
+def test_mismatched_seed_restarts(tmp_path):
+    scene, cam, settings = _setup()
+    ckpt = str(tmp_path / "render.ckpt.npz")
+    render_with_checkpoints(
+        scene, cam, settings, seed=1, spp_per_chunk=2, checkpoint_path=ckpt,
+        max_chunks=1,
+    )
+    out = np.asarray(
+        render_with_checkpoints(
+            scene, cam, settings, seed=2, spp_per_chunk=2, checkpoint_path=ckpt
+        )
+    )
+    full = np.asarray(
+        render_with_checkpoints(scene, cam, settings, seed=2, spp_per_chunk=2)
+    )
+    np.testing.assert_array_equal(out, full)
