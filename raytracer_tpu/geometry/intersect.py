@@ -245,6 +245,17 @@ def intersect_scene_pallas(
     return resolve_hits(scene, qd, origin, direction, t, prim)
 
 
+def closest_hit_t_prim(scene: Scene, origin, direction, t_min: float = DEFAULT_T_MIN):
+    """Dense candidate search only: winning (t (N,), prim (N,) i32) without
+    the epilogue (for the fused resolve+shade path)."""
+    t_s = _sphere_candidate_t(scene, origin, direction, t_min)
+    qd = quad_derived(scene)
+    t_q, _, _ = _quad_candidate_t(scene, qd, origin, direction, t_min)
+    t_all = jnp.concatenate([t_s, t_q], axis=1)
+    prim = jnp.argmin(t_all, axis=1).astype(jnp.int32)
+    return jnp.min(t_all, axis=1), prim
+
+
 def intersect_scene(
     scene: Scene, origin, direction, t_min: float = DEFAULT_T_MIN
 ) -> HitRecord:

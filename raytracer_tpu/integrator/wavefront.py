@@ -242,11 +242,9 @@ def render_wavefront_regen(
     """
     from raytracer_tpu.core.camera import camera_rays  # local: avoid cycle
 
-    from raytracer_tpu.geometry.intersect import (
-        intersect_scene as _intersect_dense,
-        quad_derived,
-        resolve_hits,
-    )
+    from raytracer_tpu.geometry.intersect import closest_hit_t_prim, quad_derived
+    from raytracer_tpu.materials.materials import resolve_and_shade
+    from raytracer_tpu.materials.packed import primitive_resolve_table
     from raytracer_tpu.ops import intersect_kernel as ik
 
     n_pixels = width * height
@@ -263,19 +261,18 @@ def render_wavefront_regen(
     num_slots = -(-total_samples // n)  # ceil: max samples per lane
 
     qd = quad_derived(scene)
+    resolve_table = primitive_resolve_table(scene, qd)
     if use_pallas:
         sph_table = ik.pack_sphere_table(scene.sph_center, scene.sph_radius)
         quad_table = ik.pack_quad_table(qd)
 
         def intersect(o, d):
-            t, prim = ik.intersect_pallas(sph_table, quad_table, o, d)
-            return resolve_hits(scene, qd, o, d, t, prim)
+            return ik.intersect_pallas(sph_table, quad_table, o, d)
 
     else:
         def intersect(o, d):
-            return _intersect_dense(scene, o, d)
+            return closest_hit_t_prim(scene, o, d)
     dtype = jnp.float32
-    packed = primitive_shading_table(scene)
 
     # Strided schedule constants (python ints -> baked into the kernel).
     jump = n % n_pixels  # pixel advance per regeneration
@@ -319,17 +316,19 @@ def render_wavefront_regen(
         active = s.active | grant
         remaining = s.remaining - grant.astype(jnp.int32)
 
-        # ---- one bounce (identical math to _bounce_step) ----
-        hit = intersect(origin, direction)
+        # ---- one bounce (identical math to _bounce_step, fused path) ----
+        t_hit, prim = intersect(origin, direction)
+        uniforms = jax.random.uniform(k_bounce, (n, UNIFORMS_PER_BOUNCE), dtype)
+        scat = resolve_and_shade(
+            scene, resolve_table, t_hit, prim, origin, direction, uniforms
+        )
         if sky_gradient:
             bg = sky_color(direction)
         else:
             bg = jnp.broadcast_to(background, direction.shape)
-        miss = active & ~hit.hit
+        miss = active & ~scat.hit
         radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
-        uniforms = jax.random.uniform(k_bounce, (n, UNIFORMS_PER_BOUNCE), dtype)
-        scat = shade(scene, hit, direction, uniforms, packed=packed)
-        live_hit = active & hit.hit
+        live_hit = active & scat.hit
         radiance = radiance + jnp.where(
             live_hit[:, None], throughput * scat.emitted, 0.0
         )
@@ -347,7 +346,7 @@ def render_wavefront_regen(
             throughput = jnp.where(
                 (rr_on & survives)[:, None], throughput / q[:, None], throughput
             )
-        origin = jnp.where(survives[:, None], hit.point, origin)
+        origin = jnp.where(survives[:, None], scat.point, origin)
         direction = jnp.where(survives[:, None], scat.direction, direction)
 
         # ---- retire finished paths into the dense per-slot log ----

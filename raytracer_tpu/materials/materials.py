@@ -33,6 +33,133 @@ from raytracer_tpu.materials.textures import eval_texture_packed
 UNIFORMS_PER_BOUNCE = 3
 
 
+class BounceResult(NamedTuple):
+    """Everything the wavefront loop needs from one bounce, produced by the
+    fused resolve+shade path (single table gather)."""
+
+    hit: jnp.ndarray  # (N,) bool
+    point: jnp.ndarray  # (N, 3)
+    direction: jnp.ndarray  # (N, 3) scattered dir
+    attenuation: jnp.ndarray  # (N, 3)
+    scattered: jnp.ndarray  # (N,) bool
+    emitted: jnp.ndarray  # (N, 3)
+
+
+def resolve_and_shade(
+    scene: Scene, table, t, prim, origin, ray_dir, uniforms
+) -> BounceResult:
+    """Fused hit epilogue + material shading from the winning (t, prim).
+
+    ONE row gather on the extended resolve table replaces the ~9 separate
+    per-field gathers of resolve_hits + shade (measured ~1 ms each in-loop
+    at 512K lanes on v5e — they dominated the bounce, not the intersection).
+    Math identical to geometry.intersect.resolve_hits + shade.
+    """
+    from raytracer_tpu.geometry.intersect import _sphere_uv
+    from raytracer_tpu.materials.packed import (
+        COL_C0,
+        COL_C1,
+        COL_FUZZ,
+        COL_IOR,
+        COL_MTYPE,
+        COL_Q_AV,
+        COL_Q_BV,
+        COL_Q_NORMAL,
+        COL_Q_QAV,
+        COL_Q_QBV,
+        COL_SPH_CENTER,
+        COL_SPH_RADIUS,
+        COL_TIMAGE,
+        COL_TSCALE,
+        COL_TTYPE,
+    )
+
+    n = origin.shape[0]
+    ns = scene.num_spheres
+    hit = jnp.isfinite(t)
+    t_safe = jnp.where(hit, t, 0.0)
+    prim = jnp.where(hit, prim, 0)
+    row = table[prim]  # (N, N_RESOLVE_COLS) — the single gather
+
+    is_quad = prim >= ns
+    point = origin + t_safe[..., None] * ray_dir
+
+    # Normals/UV (resolve_hits math, from row columns).
+    s_out = vm.normalize(
+        (point - row[:, COL_SPH_CENTER]) * row[:, COL_SPH_RADIUS][..., None],
+        eps=1e-20,
+    )
+    s_u, s_v = _sphere_uv(s_out)
+    q_out = row[:, COL_Q_NORMAL]
+    q_u = vm.dot(point, row[:, COL_Q_AV]) - row[:, COL_Q_QAV]
+    q_v = vm.dot(point, row[:, COL_Q_BV]) - row[:, COL_Q_QBV]
+    outward = jnp.where(is_quad[..., None], q_out, s_out)
+    u = jnp.where(is_quad, q_u, s_u)
+    v = jnp.where(is_quad, q_v, s_v)
+    front_face = vm.dot(ray_dir, outward) < 0.0
+    normal = jnp.where(front_face[..., None], outward, -outward)
+
+    # ---- shading (shade() math, from the same row) ----
+    mtype = row[:, COL_MTYPE].astype(jnp.int32)
+    tex_color = eval_texture_packed(
+        scene,
+        row[:, COL_TTYPE],
+        row[:, COL_C0],
+        row[:, COL_C1],
+        row[:, COL_TSCALE],
+        row[:, COL_TIMAGE],
+        u,
+        v,
+        point,
+    )
+    is_light = mtype == DIFFUSE_LIGHT
+    emitted = jnp.where(is_light[..., None], tex_color, 0.0)
+
+    sphere_sample = unit_sphere_from_uniform(uniforms[:, 0:2])
+    unit_dir = vm.normalize(ray_dir, eps=1e-20)
+
+    lamb_dir = normal + sphere_sample
+    lamb_dir = jnp.where(vm.near_zero(lamb_dir)[..., None], normal, lamb_dir)
+
+    reflected = vm.reflect(unit_dir, normal)
+    fuzz = row[:, COL_FUZZ][..., None]
+    metal_dir = reflected + fuzz * sphere_sample
+    metal_ok = vm.dot(metal_dir, normal) > 0.0
+
+    ior = row[:, COL_IOR]
+    eta = jnp.where(front_face, 1.0 / ior, ior)
+    cos_theta = jnp.minimum(vm.dot(-unit_dir, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta * cos_theta, 1e-12, 1.0))
+    cannot_refract = sin_theta * eta > 1.0
+    reflect_prob = vm.schlick_reflectance(cos_theta, eta)
+    use_reflect = cannot_refract | (reflect_prob > uniforms[:, 2])
+    refracted = vm.refract(unit_dir, normal, eta)
+    diel_dir = jnp.where(use_reflect[..., None], reflected, refracted)
+
+    is_lamb = (mtype == LAMBERTIAN)[..., None]
+    is_metal = (mtype == METAL)[..., None]
+    is_diel = (mtype == DIELECTRIC)[..., None]
+    direction = jnp.where(is_lamb, lamb_dir, jnp.where(is_metal, metal_dir, diel_dir))
+    attenuation = jnp.where(
+        is_lamb | is_metal,
+        tex_color,
+        jnp.where(is_diel, jnp.ones((n, 3), ray_dir.dtype), 0.0),
+    )
+    scattered = jnp.where(
+        mtype == METAL,
+        metal_ok,
+        (mtype == LAMBERTIAN) | (mtype == DIELECTRIC),
+    )
+    return BounceResult(
+        hit=hit,
+        point=point,
+        direction=direction,
+        attenuation=attenuation,
+        scattered=scattered,
+        emitted=emitted,
+    )
+
+
 class ScatterResult(NamedTuple):
     """Batched analog of ScatterInfo + the did-scatter bool (materials.go:14-17)."""
 

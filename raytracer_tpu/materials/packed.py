@@ -28,6 +28,19 @@ COL_TSCALE = 10  # checker / noise scale
 COL_TIMAGE = 11  # image index (as float)
 N_COLS = 12
 
+# Geometry columns of the *resolve* table (primitive_resolve_table): the hit
+# epilogue (point/normal/uv) reads these from the same single row gather —
+# separate sph_center/quad-derived gathers measured ~1 ms each in-loop and
+# dominated the bounce.
+COL_SPH_CENTER = slice(12, 15)  # sphere center (zeros for quads)
+COL_SPH_RADIUS = 15  # signed radius (hollow-glass negative)
+COL_Q_NORMAL = slice(16, 19)  # quad unit plane normal
+COL_Q_AV = slice(19, 22)  # alpha basis vector (v × w)
+COL_Q_BV = slice(22, 25)  # beta basis vector (w × u)
+COL_Q_QAV = 25  # Q·av
+COL_Q_QBV = 26  # Q·bv
+N_RESOLVE_COLS = 27
+
 
 def primitive_shading_table(scene: Scene) -> jnp.ndarray:
     """(S+Q, N_COLS) f32 table, spheres first then quads (matching
@@ -52,3 +65,27 @@ def primitive_shading_table(scene: Scene) -> jnp.ndarray:
         scene.tex_image[tex_id].astype(jnp.float32)[:, None],
     ]
     return jnp.concatenate(cols, axis=1)
+
+
+def primitive_resolve_table(scene: Scene, qd) -> jnp.ndarray:
+    """(S+Q, N_RESOLVE_COLS): shading columns + the geometry needed by the
+    hit epilogue, so intersect->shade does exactly ONE table gather per
+    bounce. `qd` is geometry.intersect.quad_derived(scene)."""
+    s = scene.num_spheres
+    q = scene.num_quads
+    shading = primitive_shading_table(scene)  # (S+Q, N_COLS)
+    zero_s = jnp.zeros((s, 1), jnp.float32)
+    zero_q = jnp.zeros((q, 1), jnp.float32)
+    geom = jnp.concatenate(
+        [
+            jnp.concatenate([scene.sph_center, jnp.zeros((q, 3))], axis=0),
+            jnp.concatenate([scene.sph_radius[:, None], zero_q], axis=0),
+            jnp.concatenate([jnp.zeros((s, 3)), qd.normal], axis=0),
+            jnp.concatenate([jnp.zeros((s, 3)), qd.av], axis=0),
+            jnp.concatenate([jnp.zeros((s, 3)), qd.bv], axis=0),
+            jnp.concatenate([zero_s, qd.q_av[:, None]], axis=0),
+            jnp.concatenate([zero_s, qd.q_bv[:, None]], axis=0),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([shading, geom], axis=1)
