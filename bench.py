@@ -27,7 +27,7 @@ def main() -> None:
 
     spp = int(os.environ.get("RT_BENCH_SPP", "64"))
     width = int(os.environ.get("RT_BENCH_WIDTH", "400"))
-    wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", str(1 << 20)))
+    wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", str(1 << 19)))
     scene, cam, settings = get_scene("rand_spheres", width=width, spp=spp)
     w, h = settings.width, settings.height
     n = w * h

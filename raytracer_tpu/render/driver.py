@@ -22,9 +22,9 @@ from raytracer_tpu.geometry.scene import Scene
 from raytracer_tpu.integrator.wavefront import render_wavefront_regen, trace
 from raytracer_tpu.render.postprocess import to_u8
 
-# Target wavefront size per pass; ~1M rays keeps the TPU busy while bounding
-# the (N, S) intersection buffers (N * S * 4B per matrix in HBM).
-DEFAULT_TARGET_RAYS_PER_PASS = 1 << 20
+# Target wavefront size per pass: 512K trades per-iteration efficiency
+# against regeneration occupancy (measured best on v5e).
+DEFAULT_TARGET_RAYS_PER_PASS = 1 << 19
 
 
 def samples_per_pass_for(
