@@ -79,20 +79,29 @@ def resolve_and_shade(
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
     prim = jnp.where(hit, prim, 0)
-    row = table[prim]  # (N, N_RESOLVE_COLS) — the single gather
+    # Single row gather, then ONE transpose to channel-major: the ~15 column
+    # reads below become contiguous (N,) row slices instead of stride-27
+    # column slices (measured 0.7 ms/iter of pure slicing at 512K lanes).
+    row_t = table[prim].T  # (N_RESOLVE_COLS, N)
+
+    def col(c):
+        return row_t[c]
+
+    def cols3(sl):
+        return row_t[sl].T  # (N, 3)
 
     is_quad = prim >= ns
     point = origin + t_safe[..., None] * ray_dir
 
     # Normals/UV (resolve_hits math, from row columns).
     s_out = vm.normalize(
-        (point - row[:, COL_SPH_CENTER]) * row[:, COL_SPH_RADIUS][..., None],
+        (point - cols3(COL_SPH_CENTER)) * col(COL_SPH_RADIUS)[..., None],
         eps=1e-20,
     )
     s_u, s_v = _sphere_uv(s_out)
-    q_out = row[:, COL_Q_NORMAL]
-    q_u = vm.dot(point, row[:, COL_Q_AV]) - row[:, COL_Q_QAV]
-    q_v = vm.dot(point, row[:, COL_Q_BV]) - row[:, COL_Q_QBV]
+    q_out = cols3(COL_Q_NORMAL)
+    q_u = vm.dot(point, cols3(COL_Q_AV)) - col(COL_Q_QAV)
+    q_v = vm.dot(point, cols3(COL_Q_BV)) - col(COL_Q_QBV)
     outward = jnp.where(is_quad[..., None], q_out, s_out)
     u = jnp.where(is_quad, q_u, s_u)
     v = jnp.where(is_quad, q_v, s_v)
@@ -100,14 +109,14 @@ def resolve_and_shade(
     normal = jnp.where(front_face[..., None], outward, -outward)
 
     # ---- shading (shade() math, from the same row) ----
-    mtype = row[:, COL_MTYPE].astype(jnp.int32)
+    mtype = col(COL_MTYPE).astype(jnp.int32)
     tex_color = eval_texture_packed(
         scene,
-        row[:, COL_TTYPE],
-        row[:, COL_C0],
-        row[:, COL_C1],
-        row[:, COL_TSCALE],
-        row[:, COL_TIMAGE],
+        col(COL_TTYPE),
+        cols3(COL_C0),
+        cols3(COL_C1),
+        col(COL_TSCALE),
+        col(COL_TIMAGE),
         u,
         v,
         point,
@@ -122,11 +131,11 @@ def resolve_and_shade(
     lamb_dir = jnp.where(vm.near_zero(lamb_dir)[..., None], normal, lamb_dir)
 
     reflected = vm.reflect(unit_dir, normal)
-    fuzz = row[:, COL_FUZZ][..., None]
+    fuzz = col(COL_FUZZ)[..., None]
     metal_dir = reflected + fuzz * sphere_sample
     metal_ok = vm.dot(metal_dir, normal) > 0.0
 
-    ior = row[:, COL_IOR]
+    ior = col(COL_IOR)
     eta = jnp.where(front_face, 1.0 / ior, ior)
     cos_theta = jnp.minimum(vm.dot(-unit_dir, normal), 1.0)
     sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta * cos_theta, 1e-12, 1.0))

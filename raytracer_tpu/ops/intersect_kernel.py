@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-DEFAULT_ROWS = 64  # rays per program = ROWS * LANES
+DEFAULT_ROWS = 128  # rays per program = ROWS * LANES (swept: 128 best on v5e)
 # Plain Python floats: jnp scalars here would be captured tracer constants,
 # which pallas kernels reject.
 INF = float("inf")
@@ -158,7 +158,7 @@ def pack_quad_table(qd) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("rows",))
-def intersect_pallas(sph_table, quad_table, origin, direction, rows: int = DEFAULT_ROWS):
+def intersect_pallas(sph_table, quad_table, origin, direction, rows: int | None = None):
     """Closest hit for a flat ray batch.
 
     Args:
@@ -170,6 +170,8 @@ def intersect_pallas(sph_table, quad_table, origin, direction, rows: int = DEFAU
     ids first, then quads offset by S).
     """
     n = origin.shape[0]
+    if rows is None:
+        rows = DEFAULT_ROWS
     tile = rows * LANES
     assert n % tile == 0, (n, tile)
     grid = n // tile

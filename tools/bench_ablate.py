@@ -14,9 +14,12 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 
 from raytracer_tpu.core.camera import camera_frame, camera_rays
-from raytracer_tpu.geometry.intersect import intersect_scene, quad_derived, resolve_hits
-from raytracer_tpu.materials.materials import UNIFORMS_PER_BOUNCE, shade
-from raytracer_tpu.materials.packed import primitive_shading_table
+from raytracer_tpu.geometry.intersect import (
+    closest_hit_t_prim, intersect_scene, quad_derived, resolve_hits)
+from raytracer_tpu.materials.materials import (
+    UNIFORMS_PER_BOUNCE, resolve_and_shade, shade)
+from raytracer_tpu.materials.packed import (
+    primitive_resolve_table, primitive_shading_table)
 from raytracer_tpu.ops import intersect_kernel as ik
 from raytracer_tpu.scenes.registry import get_scene
 
@@ -27,6 +30,7 @@ def run(mode: str, n: int = 1 << 19, iters: int = 200):
     frame_host = None
     packed = primitive_shading_table(scene)
     qd = quad_derived(scene)
+    rtable = primitive_resolve_table(scene, qd)
     sph_t = ik.pack_sphere_table(scene.sph_center, scene.sph_radius)
     quad_t = ik.pack_quad_table(qd)
     K = 45
@@ -50,23 +54,22 @@ def run(mode: str, n: int = 1 << 19, iters: int = 200):
                 act = act | grant
 
             if mode == "no_intersect":
-                hit = resolve_hits(scene, qd, o, d, jnp.full((n,), 5.0), jnp.zeros((n,), jnp.int32))
+                t, prim = jnp.full((n,), 5.0), jnp.zeros((n,), jnp.int32)
             elif mode == "dense_intersect":
-                hit = intersect_scene(scene, o, d)
+                t, prim = closest_hit_t_prim(scene, o, d)
             else:
                 t, prim = ik.intersect_pallas(sph_t, quad_t, o, d)
-                hit = resolve_hits(scene, qd, o, d, t, prim)
 
             if mode != "no_shade":
                 uni = jax.random.uniform(k2, (n, UNIFORMS_PER_BOUNCE), jnp.float32)
-                sc = shade(scene, hit, d, uni, packed=packed)
-                rad = rad + jnp.where((act & hit.hit)[:, None], tp * sc.emitted, 0.0)
-                surv = act & hit.hit & sc.scattered
+                sc = resolve_and_shade(scene, rtable, t, prim, o, d, uni)
+                rad = rad + jnp.where((act & sc.hit)[:, None], tp * sc.emitted, 0.0)
+                surv = act & sc.hit & sc.scattered
                 tp = jnp.where(surv[:, None], tp * sc.attenuation, tp)
-                o = jnp.where(surv[:, None], hit.point, o)
+                o = jnp.where(surv[:, None], sc.point, o)
                 d = jnp.where(surv[:, None], sc.direction, d)
             else:
-                surv = act & hit.hit
+                surv = act & jnp.isfinite(t)
 
             if mode != "no_rr":
                 q = jnp.clip(jnp.max(tp, axis=-1), 0.05, 0.95)
