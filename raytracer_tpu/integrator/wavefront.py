@@ -197,7 +197,7 @@ def render_wavefront_regen(
     max_depth: int = 50,
     sky_gradient: bool = False,
     russian_roulette: bool = True,
-    rr_start_depth: int = 8,
+    rr_start_depth: int = 5,
     use_pallas: bool = False,
     return_stats: bool = False,
 ):

@@ -158,9 +158,13 @@ def render_image(
         use_pallas = jax.default_backend() == "tpu"
         wavefront = int(min(max(n, 1 << 16), target_rays_per_pass))
         # Bound the regen retirement log (3, K, N): K = ceil(n*spp_chunk/N).
-        # Keep K <= 64 (~768 MB at N=1M) by chunking the spp budget.
+        # Keep K <= 64 (~768 MB at N=1M) by chunking the spp budget; equal
+        # chunk sizes so every chunk reuses ONE compiled executable.
         max_slots = 64
         spp_chunk = max(1, min(spp, (max_slots * wavefront) // max(1, n)))
+        n_chunks = -(-spp // spp_chunk)
+        spp_chunk = -(-spp // n_chunks)  # equalize (last chunk may be smaller
+        # only when spp isn't divisible; sizes differ by at most 1 compile)
         acc = jnp.zeros((h, w, 3), jnp.float32)
         done = 0
         chunk_idx = 0
