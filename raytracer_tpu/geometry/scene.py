@@ -79,6 +79,9 @@ class Scene:
     has_image: bool = struct.field(pytree_node=False, default=False)
     has_noise: bool = struct.field(pytree_node=False, default=False)
     has_checker: bool = struct.field(pytree_node=False, default=False)
+    # Bilinear image filtering (BASELINE.md upgrade; reference is nearest-
+    # neighbor, materials.go:181-192 — keep False for reference parity).
+    bilinear_textures: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_spheres(self) -> int:
@@ -183,10 +186,16 @@ class SceneBuilder:
         self.add_quad((mn[0], mn[1], mn[2]), dx, dz, mat_id)  # bottom
 
     # ---- build ---------------------------------------------------------
-    def build(self, pad_spheres: int | None = None, pad_quads: int | None = None) -> Scene:
+    def build(
+        self,
+        pad_spheres: int | None = None,
+        pad_quads: int | None = None,
+        bilinear_textures: bool = False,
+    ) -> Scene:
         """Produce the device Scene. Optional padding rounds primitive counts
         up (dummy rows never hit), keeping jit cache keys stable across scenes
-        of similar size."""
+        of similar size. bilinear_textures upgrades image lookups from the
+        reference's nearest-neighbor to bilinear filtering."""
         sph = self._sph or [((0.0, 0.0, 0.0), 0.0, 0)]
         quads = self._quads or [((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 0.0, 0.0), 0)]
         mats = self._mats or [(LAMBERTIAN, (0, 0, 0), 0.0, 1.0, 0)]
@@ -272,4 +281,5 @@ class SceneBuilder:
             has_image=TEX_IMAGE in tex_types_present,
             has_noise=TEX_NOISE in tex_types_present,
             has_checker=TEX_CHECKER in tex_types_present,
+            bilinear_textures=bilinear_textures,
         )

@@ -151,7 +151,7 @@ def eval_texture_packed(
         iid = img_id.astype(jnp.int32)
         img = (
             _image_lookup_bilinear(scene, iid, u, v)
-            if bilinear
+            if (bilinear or scene.bilinear_textures)
             else _image_lookup(scene, iid, u, v)
         )
         color = jnp.where((ttype == TEX_IMAGE)[..., None], img, color)

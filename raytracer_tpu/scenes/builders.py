@@ -75,6 +75,7 @@ def earth(
     spp: int = 100,
     max_depth: int = 50,
     texture_path: str | None = None,
+    bilinear: bool = False,
 ):
     """Image-textured globe (main.go:80-104). The reference's earthmap.jpg is
     a missing blob in this mount, so by default a deterministic synthetic
@@ -93,7 +94,7 @@ def earth(
     img = load_jpeg(texture_path) if texture_path else synthetic_earth_texture()
     tex = b.image(img)
     b.add_sphere((0, 0, 0), 2, b.lambertian(tex))
-    return b.build(), cam, settings
+    return b.build(bilinear_textures=bilinear), cam, settings
 
 
 def perlin_demo(seed: int = 0, *, width: int = 400, spp: int = 100, max_depth: int = 50):

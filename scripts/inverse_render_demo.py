@@ -1,0 +1,102 @@
+"""Inverse-rendering demo (BASELINE.json config 5, single-chip version):
+recover the sphere albedos from a target image by gradient descent through
+the differentiable renderer. (Geometry parameters are recoverable only in
+silhouette-free setups with plain autodiff — moving a sphere changes which
+paths hit it, a discontinuity the interior derivative cannot see; see
+tests/test_grad.py and docs/PERF_NOTES.md. Silhouette-aware gradients are
+round-2+ work.)
+
+    python scripts/inverse_render_demo.py          # writes out/inverse/*
+
+Artifacts: target.png, init.png, recovered.png, history.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.core.camera import make_camera
+from raytracer_tpu.diff.grad import make_inverse_renderer, render_linear_diff
+from raytracer_tpu.geometry.scene import SceneBuilder
+from raytracer_tpu.imgio.image import write_png
+from raytracer_tpu.render.postprocess import to_u8
+
+
+def build_scene(albedo0, albedo1, center1):
+    b = SceneBuilder(0)
+    b.add_sphere((-1.1, 0.0, -3.0), 1.0, b.lambertian(tuple(albedo0)))
+    b.add_sphere(tuple(center1), 0.8, b.lambertian(tuple(albedo1)))
+    b.add_sphere((0.0, -101.0, -3.0), 100.0, b.lambertian((0.5, 0.5, 0.5)))
+    cam, _ = make_camera(
+        1.0, 96, fov_degrees=55, look_from=(0, 0.3, 1), look_at=(0, 0, -3)
+    )
+    return b.build(), cam
+
+
+def main() -> None:
+    out_dir = "out/inverse"
+    os.makedirs(out_dir, exist_ok=True)
+    kw = dict(width=96, height=96, samples_per_pass=8, max_depth=5, sky_gradient=True)
+
+    # Ground truth.
+    center1 = (1.1, -0.1, -3.2)
+    true_scene, cam = build_scene((0.70, 0.15, 0.10), (0.10, 0.25, 0.75), center1)
+    target = render_linear_diff(true_scene, cam, jax.random.PRNGKey(99), **kw)
+    write_png(f"{out_dir}/target.png", np.asarray(to_u8(target)))
+
+    # Wrong initial guess.
+    scene0, _ = build_scene((0.4, 0.4, 0.4), (0.4, 0.4, 0.4), center1)
+    init = render_linear_diff(scene0, cam, jax.random.PRNGKey(1), **kw)
+    write_png(f"{out_dir}/init.png", np.asarray(to_u8(init)))
+
+    params, opt_state, step = make_inverse_renderer(
+        scene0,
+        cam,
+        target,
+        trainable=("tex_c0",),
+        width=96,
+        height=96,
+        samples_per_pass=8,
+        max_depth=5,
+        sky_gradient=True,
+        learning_rate=3e-2,
+    )
+
+    key = jax.random.PRNGKey(7)
+    history = []
+    t0 = time.perf_counter()
+    for i in range(300):
+        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i))
+        if i % 20 == 0 or i == 299:
+            history.append({"step": i, "loss": float(loss)})
+            print(f"step {i:4d}  loss {float(loss):.6f}", flush=True)
+    dt = time.perf_counter() - t0
+
+    final_scene = scene0.replace(**params)
+    final = render_linear_diff(final_scene, cam, jax.random.PRNGKey(2), **kw)
+    write_png(f"{out_dir}/recovered.png", np.asarray(to_u8(final)))
+
+    result = {
+        "wall_s": round(dt, 1),
+        "loss_history": history,
+        "recovered_albedo0": [round(float(x), 3) for x in params["tex_c0"][0]],
+        "true_albedo0": [0.70, 0.15, 0.10],
+        "recovered_albedo1": [round(float(x), 3) for x in params["tex_c0"][1]],
+        "true_albedo1": [0.10, 0.25, 0.75],
+    }
+    with open(f"{out_dir}/history.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()
