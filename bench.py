@@ -40,6 +40,7 @@ def main() -> None:
         max_depth=settings.max_depth,
         sky_gradient=False,
         use_pallas=os.environ.get("RT_BENCH_PALLAS", "1") == "1",
+        use_megakernel=os.environ.get("RT_BENCH_MEGAKERNEL", "1") == "1",
         return_stats=True,
     )
     key = jax.random.PRNGKey(0)

@@ -199,6 +199,7 @@ def render_wavefront_regen(
     russian_roulette: bool = True,
     rr_start_depth: int = 5,
     use_pallas: bool = False,
+    use_megakernel: bool = False,
     return_stats: bool = False,
 ):
     """Render with *path regeneration*: a fixed-size wavefront where a lane
@@ -262,10 +263,9 @@ def render_wavefront_regen(
 
     qd = quad_derived(scene)
     resolve_table = primitive_resolve_table(scene, qd)
+    sph_table = ik.pack_sphere_table(scene.sph_center, scene.sph_radius)
+    quad_table = ik.pack_quad_table(qd)
     if use_pallas:
-        sph_table = ik.pack_sphere_table(scene.sph_center, scene.sph_radius)
-        quad_table = ik.pack_quad_table(qd)
-
         def intersect(o, d):
             return ik.intersect_pallas(sph_table, quad_table, o, d)
 
@@ -286,6 +286,93 @@ def render_wavefront_regen(
     init_px = init_pixel % width
     init_py = init_pixel // width
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (num_slots, 1), 0)  # (K,1)
+
+    if use_megakernel:
+        from raytracer_tpu.ops.wavefront_kernel import (
+            pack_camera_scalars,
+            wavefront_step_pallas,
+        )
+
+        cam_scalars = pack_camera_scalars(frame)
+        seed_base = jax.random.randint(key, (), 0, 1 << 30, jnp.int32)
+
+        def body_mk(s: RegenState) -> RegenState:
+            out = wavefront_step_pallas(
+                sph_table,
+                quad_table,
+                cam_scalars,
+                seed_base + s.iters * jnp.int32(1013904223),
+                s.origin,
+                s.direction,
+                s.active,
+                s.remaining,
+                s.px,
+                s.py,
+                s.sample_k,
+                width=width,
+                height=height,
+                jump_px=jump_px,
+                jump_py=jump_py,
+            )
+            grant = out["grant"]
+            origin = out["origin"]
+            direction = out["direction"]
+            g3 = grant[:, None]
+            throughput = jnp.where(g3, 1.0, s.throughput)
+            radiance = jnp.where(g3, 0.0, s.radiance)
+            depth = jnp.where(grant, 0, s.depth)
+            active = s.active | grant
+
+            uniforms = out["uniforms"]
+            scat = resolve_and_shade(
+                scene, resolve_table, out["t"], out["prim"], origin, direction,
+                uniforms,
+            )
+            if sky_gradient:
+                bg = sky_color(direction)
+            else:
+                bg = jnp.broadcast_to(background, direction.shape)
+            miss = active & ~scat.hit
+            radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
+            live_hit = active & scat.hit
+            radiance = radiance + jnp.where(
+                live_hit[:, None], throughput * scat.emitted, 0.0
+            )
+            survives = live_hit & scat.scattered
+            depth = depth + active.astype(jnp.int32)
+            survives = survives & (depth < max_depth)
+            throughput = jnp.where(
+                survives[:, None], throughput * scat.attenuation, throughput
+            )
+            if russian_roulette:
+                q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
+                rr_on = survives & (depth >= rr_start_depth)
+                survives = survives & (~rr_on | (uniforms[:, 3] < q))
+                throughput = jnp.where(
+                    (rr_on & survives)[:, None], throughput / q[:, None], throughput
+                )
+            origin = jnp.where(survives[:, None], scat.point, origin)
+            direction = jnp.where(survives[:, None], scat.direction, direction)
+
+            finished = active & ~survives
+            slot_mask = (slot_ids == out["sample_k"][None, :]) & finished[None, :]
+            log = s.log + slot_mask[None, :, :] * radiance.T[:, None, :]
+            return RegenState(
+                origin=origin,
+                direction=direction,
+                throughput=throughput,
+                radiance=radiance,
+                active=survives,
+                depth=depth,
+                px=out["px"],
+                py=out["py"],
+                remaining=out["remaining"],
+                sample_k=out["sample_k"],
+                log=log,
+                key=s.key,
+                segments=s.segments + jnp.sum(active.astype(jnp.int32)),
+                iters=s.iters + 1,
+            )
 
     def body(s: RegenState) -> RegenState:
         key, k_regen, k_bounce, k_rr = jax.random.split(s.key, 4)
@@ -388,7 +475,7 @@ def render_wavefront_regen(
     )
     final = jax.lax.while_loop(
         lambda s: jnp.any(s.active | (s.remaining > 0)),
-        body,
+        body_mk if use_megakernel else body,
         init,
     )
 

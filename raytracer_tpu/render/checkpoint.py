@@ -106,6 +106,7 @@ def render_with_checkpoints(
             max_depth=settings.max_depth,
             sky_gradient=settings.sky_gradient,
             use_pallas=jax.default_backend() == "tpu",
+            use_megakernel=jax.default_backend() == "tpu",
         )
         acc = acc + out * jnp.float32(step_spp)
         done += step_spp

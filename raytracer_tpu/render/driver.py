@@ -90,6 +90,7 @@ def render_pass(
         "max_depth",
         "sky_gradient",
         "use_pallas",
+        "use_megakernel",
         "return_stats",
     ),
 )
@@ -105,6 +106,7 @@ def render_regen(
     max_depth: int,
     sky_gradient: bool,
     use_pallas: bool = False,
+    use_megakernel: bool = False,
     return_stats: bool = False,
 ):
     """Full-image render via the regenerative wavefront (the production fast
@@ -123,6 +125,7 @@ def render_regen(
         max_depth=max_depth,
         sky_gradient=sky_gradient,
         use_pallas=use_pallas,
+        use_megakernel=use_megakernel,
         return_stats=return_stats,
     )
     if return_stats:
@@ -181,6 +184,7 @@ def render_image(
                 max_depth=settings.max_depth,
                 sky_gradient=settings.sky_gradient,
                 use_pallas=use_pallas,
+                use_megakernel=use_pallas,  # fused front-half on TPU
             ) * jnp.float32(step_spp)
             done += step_spp
             chunk_idx += 1
