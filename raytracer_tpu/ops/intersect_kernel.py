@@ -53,6 +53,10 @@ def _intersect_kernel(
     inv_a = 1.0 / a
     d_dot_o = dx * ox + dy * oy + dz * oz
     o_sq = ox * ox + oy * oy + oz * oz
+    # Sphere candidates compare in *scaled* t-space (t' = t*a, a > 0 per
+    # lane): skips two inv_a multiplies per sphere; the winner is rescaled
+    # once after the loops. Quads scale their t by a to stay comparable.
+    tmin_a = T_MIN * a
 
     shape = ox.shape
     t0_best = jnp.full(shape, INF)
@@ -69,13 +73,15 @@ def _intersect_kernel(
         half_b = d_dot_o - d_dot_c
         c = o_sq - 2.0 * o_dot_c + c2r2
         disc = half_b * half_b - a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t0 = (-half_b - sq) * inv_a
-        t1 = (-half_b + sq) * inv_a
-        feasible = disc >= 0.0
-        t0 = jnp.where(feasible & (t0 > T_MIN), t0, INF)
-        t1 = jnp.where(feasible & (t1 > T_MIN), t1, INF)
-        t_cand = jnp.minimum(t0, t1)
+        # No max/feasible mask: sqrt(disc<0) = NaN, NaN comparisons are
+        # false, so infeasible candidates fall through to INF naturally.
+        sq = jnp.sqrt(disc)
+        nhb = -half_b
+        t0s = nhb - sq
+        t1s = nhb + sq
+        t_cand = jnp.where(
+            t0s > tmin_a, t0s, jnp.where(t1s > tmin_a, t1s, INF)
+        )
         better = t_cand < t_best
         return jnp.where(better, t_cand, t_best), jnp.where(better, i, p_best)
 
@@ -120,7 +126,7 @@ def _intersect_kernel(
             & (beta >= 0.0)
             & (beta <= 1.0)
         )
-        t_cand = jnp.where(ok, t, INF)
+        t_cand = jnp.where(ok, t * a, INF)  # scaled-t space (see above)
         better = t_cand < t_best
         return (
             jnp.where(better, t_cand, t_best),
@@ -131,7 +137,7 @@ def _intersect_kernel(
         0, nq_ref[0], quad_body, (t_best, prim_best)
     )
 
-    t_ref[:] = t_best
+    t_ref[:] = t_best * inv_a  # back from scaled-t space (INF stays INF)
     prim_ref[:] = prim_best
 
 
