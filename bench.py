@@ -20,6 +20,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: repeated heavy remote compiles destabilize the
+# TPU tunnel in this environment; the cache makes reruns cheap.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def main() -> None:
     from raytracer_tpu.render.driver import render_regen

@@ -14,6 +14,16 @@ import argparse
 import json
 import time
 
+import jax
+
+# Persistent compile cache: repeated heavy remote compiles destabilize the
+# TPU tunnel in this environment; the cache makes reruns cheap.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from raytracer_tpu.render.driver import render_scene
 from raytracer_tpu.scenes.registry import SCENES, get_scene
 from raytracer_tpu.imgio.image import write_png, write_ppm

@@ -94,7 +94,7 @@ def render_pass(
         "return_stats",
     ),
 )
-def render_regen(
+def _render_regen_fb(
     scene: Scene,
     cam: Camera,
     key,
@@ -109,11 +109,8 @@ def render_regen(
     use_megakernel: bool = False,
     return_stats: bool = False,
 ):
-    """Full-image render via the regenerative wavefront (the production fast
-    path): one jit call traces the entire sample budget at ~full occupancy.
-    Returns mean radiance (H, W, 3) (+ (segments, iters) with stats)."""
     frame = camera_frame(cam, width, height)
-    out = render_wavefront_regen(
+    return render_wavefront_regen(
         scene,
         frame,
         cam.background,
@@ -127,6 +124,20 @@ def render_regen(
         use_pallas=use_pallas,
         use_megakernel=use_megakernel,
         return_stats=return_stats,
+    )
+
+
+def render_regen(scene, cam, key, *, spp, height, width, return_stats=False, **kw):
+    """Full-image render via the regenerative wavefront (the production fast
+    path): one jit call traces the entire sample budget at ~full occupancy.
+    Returns mean radiance (H, W, 3) (+ (segments, iters) with stats).
+
+    The reshape/divide epilogue deliberately lives OUTSIDE the big jit: fused
+    into the wavefront program it reproducibly crashes the remote TPU
+    compile service at large image sizes (observed at 1200x675)."""
+    out = _render_regen_fb(
+        scene, cam, key, spp=spp, height=height, width=width,
+        return_stats=return_stats, **kw,
     )
     if return_stats:
         fb, segments, iters = out
@@ -159,15 +170,20 @@ def render_image(
 
     if regenerative:
         use_pallas = jax.default_backend() == "tpu"
-        wavefront = int(min(max(n, 1 << 16), target_rays_per_pass))
+        # Wavefront at least one full image (capped): chunking a big image
+        # through a small wavefront measured 10x slower (per-call overheads +
+        # low occupancy) — 1200x800@500spp went 432s -> ~25s with this.
+        max_wavefront = 1 << 21
+        wavefront = int(max(target_rays_per_pass, min(n, max_wavefront)))
         # Bound the regen retirement log (3, K, N): K = ceil(n*spp_chunk/N).
         # Keep K <= 64 (~768 MB at N=1M) by chunking the spp budget; equal
         # chunk sizes so every chunk reuses ONE compiled executable.
         max_slots = 64
-        spp_chunk = max(1, min(spp, (max_slots * wavefront) // max(1, n)))
-        n_chunks = -(-spp // spp_chunk)
-        spp_chunk = -(-spp // n_chunks)  # equalize (last chunk may be smaller
-        # only when spp isn't divisible; sizes differ by at most 1 compile)
+        cap = max(1, min(spp, (max_slots * wavefront) // max(1, n)))
+        # Prefer a divisor of spp: every chunk is the same size -> exactly
+        # ONE compiled executable (a second chunk size costs a ~minute-scale
+        # remote compile on this tunnel).
+        spp_chunk = next((k for k in range(cap, 0, -1) if spp % k == 0), cap)
         acc = jnp.zeros((h, w, 3), jnp.float32)
         done = 0
         chunk_idx = 0

@@ -19,12 +19,19 @@ from raytracer_tpu.imgio.image import load_jpeg, synthetic_earth_texture
 SKY_BLUE = (0.7, 0.8, 1.0)
 
 
-def rand_spheres(seed: int = 0, *, width: int = 400, spp: int = 500, max_depth: int = 50):
+def rand_spheres(
+    seed: int = 0,
+    *,
+    width: int = 400,
+    spp: int = 500,
+    max_depth: int = 50,
+    aspect: float = 16.0 / 9.0,
+):
     """~500-sphere random scene (main.go:227-289): checkered ground, 22×22
     grid of random lambertian/metal/glass spheres, three hero spheres,
     thin-lens camera with 0.6° defocus."""
     cam, settings = make_camera(
-        16.0 / 9.0,
+        aspect,
         width,
         samples_per_pixel=spp,
         max_depth=max_depth,
@@ -195,8 +202,10 @@ def cornell_box(seed: int = 0, *, width: int = 600, spp: int = 200, max_depth: i
 
 
 def one_weekend_final(seed: int = 0, *, width: int = 1200, spp: int = 500, max_depth: int = 50):
-    """Book-canonical random-sphere config (1200×800 @ 500 spp, gradient sky)
-    from BASELINE.md — same geometry as rand_spheres but the classic lerp sky
-    instead of the reference's flat background color."""
-    scene, cam, settings = rand_spheres(seed, width=width, spp=spp, max_depth=max_depth)
+    """Book-canonical random-sphere config (1200×800 @ 500 spp, 3:2 aspect,
+    gradient sky) from BASELINE.md — same geometry as rand_spheres but the
+    classic lerp sky instead of the reference's flat background color."""
+    scene, cam, settings = rand_spheres(
+        seed, width=width, spp=spp, max_depth=max_depth, aspect=1.5
+    )
     return scene, cam, settings._replace(sky_gradient=True)
