@@ -95,3 +95,20 @@ def test_differentiable_path_matches_while_loop():
     r_diff = _trace(scene, o, d, differentiable=True, **kw)
     # Same keys, same sequence of ops -> identical results.
     np.testing.assert_allclose(r_fast, r_diff, rtol=1e-5, atol=1e-6)
+
+
+def test_hollow_glass_sphere_renders():
+    """The book's hollow-glass trick: an inner sphere with negative radius
+    inside a dielectric shell (hittables.go:119-120 normal flip). The scene
+    must render finite, plausible radiance."""
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.dielectric(1.5))
+    b.add_sphere((0, 0, -3), -0.8, b.dielectric(1.5))
+    b.add_sphere((0, -101, -3), 100.0, b.lambertian((0.5, 0.5, 0.5)))
+    scene = b.build()
+    n = 2048
+    o = np.zeros((n, 3), np.float32)
+    d = np.tile(np.array([[0, 0, -1.0]], np.float32), (n, 1))
+    rad = _trace(scene, o, d, background=(0.7, 0.8, 1.0), max_depth=16)
+    assert np.isfinite(rad).all()
+    assert 0.2 < rad.mean() < 1.2  # glass mostly transmits the sky/ground

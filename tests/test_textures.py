@@ -135,3 +135,57 @@ def test_marble_value_range(rng):
     assert (col >= 0).all() and (col <= 1).all()
     assert col.std() > 0.05  # actually varies
     np.testing.assert_allclose(col[:, 0], col[:, 1])  # gray
+
+
+def test_multiple_images_padded_stack():
+    """Two image textures of different sizes share a padded stack; lookups
+    must respect each image's true dims (scene.image_dims)."""
+    img_a = np.zeros((2, 2, 3), np.float32)
+    img_a[0, 0] = (1, 0, 0)
+    img_a[1, 1] = (0, 1, 0)
+    img_b = np.zeros((4, 8, 3), np.float32)
+    img_b[3, 7] = (0, 0, 1)
+    b = SceneBuilder(0)
+    ta = b.image(img_a)
+    tb = b.image(img_b)
+    b.lambertian(ta)
+    b.lambertian(tb)
+    scene = b.build()
+    assert scene.images.shape == (2, 4, 8, 3)  # padded to max dims
+
+    def lookup(t, u, v):
+        return np.asarray(
+            eval_texture(
+                scene,
+                jnp.array([t], jnp.int32),
+                jnp.array([u], jnp.float32),
+                jnp.array([v], jnp.float32),
+                jnp.zeros((1, 3)),
+            )
+        )[0]
+
+    np.testing.assert_allclose(lookup(ta, 0.1, 0.9), (1, 0, 0))  # a[0,0]
+    np.testing.assert_allclose(lookup(ta, 0.9, 0.1), (0, 1, 0))  # a[1,1]
+    np.testing.assert_allclose(lookup(tb, 0.99, 0.01), (0, 0, 1))  # b[3,7]
+    np.testing.assert_allclose(lookup(tb, 0.1, 0.9), (0, 0, 0))
+
+
+def test_bilinear_image_lookup():
+    """Bilinear filtering (scene flag) interpolates between texels."""
+    img = np.zeros((2, 2, 3), np.float32)
+    img[0, 0] = (1, 1, 1)
+    b = SceneBuilder(0)
+    t = b.image(img)
+    b.lambertian(t)
+    scene = b.build(bilinear_textures=True)
+    # Sample at the center of the texture: average of 4 texels = 0.25.
+    col = np.asarray(
+        eval_texture(
+            scene,
+            jnp.array([t], jnp.int32),
+            jnp.array([0.5], jnp.float32),
+            jnp.array([0.5], jnp.float32),
+            jnp.zeros((1, 3)),
+        )
+    )[0]
+    np.testing.assert_allclose(col, (0.25, 0.25, 0.25), atol=1e-6)
