@@ -20,13 +20,12 @@ parameter gradients across the mesh (SURVEY.md §2.2 "gradient parallel").
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from raytracer_tpu.core.camera import Camera, RenderSettings, camera_frame, camera_rays
+from raytracer_tpu.core.camera import Camera, camera_frame, camera_rays
 from raytracer_tpu.geometry.scene import Scene
 from raytracer_tpu.integrator.wavefront import trace
 
