@@ -40,8 +40,11 @@ QUAD_DENOM_EPS = 1e-8
 def _intersect_kernel(
     ns_ref,  # () i32 SMEM — number of spheres
     nq_ref,  # () i32 SMEM — number of quads
-    sph_ref,  # (S, 4) f32 SMEM — cx, cy, cz, |c|^2 - r^2 (1e30 for dummies)
-    quad_ref,  # (Q, 12) f32 SMEM — nx,ny,nz,D,avx,avy,avz,bvx,bvy,bvz,qav,qbv
+    sph_ref,  # (S*4,) f32 SMEM — cx, cy, cz, |c|^2 - r^2 (1e30 for dummies)
+    # NOTE: scalar-prefetch tables are FLAT 1D — a 2D (S, C) SMEM operand
+    # pads every row to 128 lanes (measured: 10K spheres -> 5 MB > the 1 MB
+    # SMEM budget); flat layout stays at S*C*4 bytes.
+    quad_ref,  # (Q*12,) f32 SMEM — nx,ny,nz,D,avx,avy,avz,bvx,bvy,bvz,qav,qbv
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (ROWS, 128) f32 VMEM
     t_ref,  # (ROWS, 128) f32 VMEM out
     prim_ref,  # (ROWS, 128) i32 VMEM out
@@ -64,10 +67,11 @@ def _intersect_kernel(
 
     def sphere_body(i, carry):
         t_best, p_best = carry
-        cx = sph_ref[i, 0]
-        cy = sph_ref[i, 1]
-        cz = sph_ref[i, 2]
-        c2r2 = sph_ref[i, 3]
+        base = i * 4
+        cx = sph_ref[base]
+        cy = sph_ref[base + 1]
+        cz = sph_ref[base + 2]
+        c2r2 = sph_ref[base + 3]
         d_dot_c = dx * cx + dy * cy + dz * cz
         o_dot_c = ox * cx + oy * cy + oz * cz
         half_b = d_dot_o - d_dot_c
@@ -93,30 +97,31 @@ def _intersect_kernel(
 
     def quad_body(qi, carry):
         t_best, p_best = carry
-        nx = quad_ref[qi, 0]
-        ny = quad_ref[qi, 1]
-        nz = quad_ref[qi, 2]
-        dplane = quad_ref[qi, 3]
+        qb = qi * 12
+        nx = quad_ref[qb]
+        ny = quad_ref[qb + 1]
+        nz = quad_ref[qb + 2]
+        dplane = quad_ref[qb + 3]
         d_n = dx * nx + dy * ny + dz * nz
         o_n = ox * nx + oy * ny + oz * nz
         denom_ok = jnp.abs(d_n) >= QUAD_DENOM_EPS
         safe_dn = jnp.where(denom_ok, d_n, 1.0)
         t = (dplane - o_n) / safe_dn
-        avx = quad_ref[qi, 4]
-        avy = quad_ref[qi, 5]
-        avz = quad_ref[qi, 6]
+        avx = quad_ref[qb + 4]
+        avy = quad_ref[qb + 5]
+        avz = quad_ref[qb + 6]
         alpha = (
             (ox * avx + oy * avy + oz * avz)
             + t * (dx * avx + dy * avy + dz * avz)
-            - quad_ref[qi, 10]
+            - quad_ref[qb + 10]
         )
-        bvx = quad_ref[qi, 7]
-        bvy = quad_ref[qi, 8]
-        bvz = quad_ref[qi, 9]
+        bvx = quad_ref[qb + 7]
+        bvy = quad_ref[qb + 8]
+        bvz = quad_ref[qb + 9]
         beta = (
             (ox * bvx + oy * bvy + oz * bvz)
             + t * (dx * bvx + dy * bvy + dz * bvz)
-            - quad_ref[qi, 11]
+            - quad_ref[qb + 11]
         )
         ok = (
             denom_ok
@@ -190,6 +195,8 @@ def intersect_pallas(sph_table, quad_table, origin, direction, rows: int | None 
     ]
     ns = jnp.asarray([sph_table.shape[0]], jnp.int32)
     nq = jnp.asarray([quad_table.shape[0]], jnp.int32)
+    sph_flat = sph_table.reshape(-1)
+    quad_flat = quad_table.reshape(-1)
 
     # index_map receives (grid_idx, *scalar_prefetch_refs).
     ray_spec = pl.BlockSpec(
@@ -208,5 +215,5 @@ def intersect_pallas(sph_table, quad_table, origin, direction, rows: int | None 
             jax.ShapeDtypeStruct((n // LANES, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n // LANES, LANES), jnp.int32),
         ],
-    )(ns, nq, sph_table, quad_table, *comps)
+    )(ns, nq, sph_flat, quad_flat, *comps)
     return t.reshape(n), prim.reshape(n)

@@ -138,10 +138,11 @@ def _wavefront_kernel(
 
     def sphere_body(i, carry_in):
         t_best, p_best = carry_in
-        cx = sph_ref[i, 0]
-        cy = sph_ref[i, 1]
-        cz = sph_ref[i, 2]
-        c2r2 = sph_ref[i, 3]
+        base = i * 4
+        cx = sph_ref[base]
+        cy = sph_ref[base + 1]
+        cz = sph_ref[base + 2]
+        c2r2 = sph_ref[base + 3]
         d_dot_c = dx * cx + dy * cy + dz * cz
         o_dot_c = ox * cx + oy * cy + oz * cz
         half_b = d_dot_o - d_dot_c
@@ -166,29 +167,30 @@ def _wavefront_kernel(
 
     def quad_body(qi, carry_in):
         t_best, p_best = carry_in
-        nx = quad_ref[qi, 0]
-        ny = quad_ref[qi, 1]
-        nz = quad_ref[qi, 2]
-        dplane = quad_ref[qi, 3]
+        qb = qi * 12
+        nx = quad_ref[qb]
+        ny = quad_ref[qb + 1]
+        nz = quad_ref[qb + 2]
+        dplane = quad_ref[qb + 3]
         d_n = dx * nx + dy * ny + dz * nz
         o_n = ox * nx + oy * ny + oz * nz
         denom_ok = jnp.abs(d_n) >= QUAD_DENOM_EPS
         t = (dplane - o_n) / jnp.where(denom_ok, d_n, 1.0)
-        avx = quad_ref[qi, 4]
-        avy = quad_ref[qi, 5]
-        avz = quad_ref[qi, 6]
+        avx = quad_ref[qb + 4]
+        avy = quad_ref[qb + 5]
+        avz = quad_ref[qb + 6]
         alpha = (
             (ox * avx + oy * avy + oz * avz)
             + t * (dx * avx + dy * avy + dz * avz)
-            - quad_ref[qi, 10]
+            - quad_ref[qb + 10]
         )
-        bvx = quad_ref[qi, 7]
-        bvy = quad_ref[qi, 8]
-        bvz = quad_ref[qi, 9]
+        bvx = quad_ref[qb + 7]
+        bvy = quad_ref[qb + 8]
+        bvz = quad_ref[qb + 9]
         beta = (
             (ox * bvx + oy * bvy + oz * bvz)
             + t * (dx * bvx + dy * bvy + dz * bvz)
-            - quad_ref[qi, 11]
+            - quad_ref[qb + 11]
         )
         ok = (
             denom_ok
@@ -325,7 +327,10 @@ def wavefront_step_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-    )(ns, nq, sph_table, quad_table, cam_scalars, jnp.asarray([seed], i32), *ins)
+    )(
+        ns, nq, sph_table.reshape(-1), quad_table.reshape(-1), cam_scalars,
+        jnp.asarray([seed], i32), *ins,
+    )
 
     (t, prim, ox, oy, oz, dx, dy, dz, grant, rem, pxo, pyo, sko,
      u0, u1, u2, u3) = outs
