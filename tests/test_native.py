@@ -53,3 +53,21 @@ def test_ppm_native_roundtrip(tmp_path, rng):
     p = str(tmp_path / "native.ppm")
     assert native.write_ppm_native(p, img)
     np.testing.assert_array_equal(read_ppm(p), img)
+
+
+def test_ppm_native_matches_python(tmp_path, rng):
+    """Native and Python PPM encoders produce identical bytes."""
+    import raytracer_tpu.imgio.image as im
+
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    p_native = str(tmp_path / "a.ppm")
+    assert native.write_ppm_native(p_native, img)
+    # Force the pure-python writer by disabling the native path.
+    p_py = str(tmp_path / "b.ppm")
+    orig = native.write_ppm_native
+    try:
+        native.write_ppm_native = lambda *a, **k: False
+        im.write_ppm(p_py, img)
+    finally:
+        native.write_ppm_native = orig
+    assert open(p_native, "rb").read() == open(p_py, "rb").read()
