@@ -198,8 +198,11 @@ def render_wavefront_regen(
     sky_gradient: bool = False,
     russian_roulette: bool = True,
     rr_start_depth: int = 5,
+    rr_max_q: float = 0.95,
     use_pallas: bool = False,
     use_megakernel: bool = False,
+    use_persistent: bool = False,
+    persistent_rows: int = 0,
     return_stats: bool = False,
 ):
     """Render with *path regeneration*: a fixed-size wavefront where a lane
@@ -287,6 +290,39 @@ def render_wavefront_regen(
     init_py = init_pixel // width
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (num_slots, 1), 0)  # (K,1)
 
+    if use_persistent:
+        # Whole-loop-in-kernel path: state stays in VMEM, tiles drain
+        # independently (see ops/persistent_kernel.py).
+        from raytracer_tpu.ops.persistent_kernel import (
+            pack_camera_scalars_bg,
+            pack_persistent_tables,
+            render_persistent_pallas,
+        )
+
+        sph_p, quad_p, res_p = pack_persistent_tables(scene, qd)
+        seed = jax.random.randint(key, (), 0, 1 << 30, jnp.int32)
+        log, segments, iters = render_persistent_pallas(
+            sph_p,
+            quad_p,
+            res_p,
+            pack_camera_scalars_bg(frame, background),
+            seed,
+            init_remaining.astype(jnp.int32),
+            init_px,
+            init_py,
+            width=width,
+            height=height,
+            jump_px=jump_px,
+            jump_py=jump_py,
+            num_slots=num_slots,
+            max_depth=max_depth,
+            rr_start=rr_start_depth if russian_roulette else max_depth,
+            rr_hi=rr_max_q,
+            sky_gradient=sky_gradient,
+            **({"rows": persistent_rows} if persistent_rows else {}),
+        )
+        return _fold_log(log, num_slots, n, n_pixels, segments, iters, return_stats)
+
     if use_megakernel:
         from raytracer_tpu.ops.wavefront_kernel import (
             pack_camera_scalars,
@@ -345,7 +381,7 @@ def render_wavefront_regen(
                 survives[:, None], throughput * scat.attenuation, throughput
             )
             if russian_roulette:
-                q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
+                q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, rr_max_q)
                 rr_on = survives & (depth >= rr_start_depth)
                 survives = survives & (~rr_on | (uniforms[:, 3] < q))
                 throughput = jnp.where(
@@ -426,7 +462,7 @@ def render_wavefront_regen(
             survives[:, None], throughput * scat.attenuation, throughput
         )
         if russian_roulette:
-            q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
+            q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, rr_max_q)
             rr_uni = jax.random.uniform(k_rr, (n,), dtype)
             rr_on = survives & (depth >= rr_start_depth)
             survives = survives & (~rr_on | (rr_uni < q))
@@ -478,18 +514,25 @@ def render_wavefront_regen(
         body_mk if use_megakernel else body,
         init,
     )
+    return _fold_log(
+        final.log, num_slots, n, n_pixels, final.segments, final.iters, return_stats
+    )
 
-    # ---- fold the log into the framebuffer (all dense) ----
-    # Slot k, lane L -> pixel (L + k*N) mod n_pixels: chunk-sum lanes modulo
-    # n_pixels, then rotate by the slot's constant offset.
+
+def _fold_log(log, num_slots, n, n_pixels, segments, iters, return_stats):
+    """Fold the dense (3, K, N) retirement log into the framebuffer.
+
+    Slot k, lane L -> pixel (L + k*N) mod n_pixels: chunk-sum lanes modulo
+    n_pixels, then rotate by the slot's constant offset (all dense — no
+    scatter; see render_wavefront_regen docstring)."""
     chunks = -(-n // n_pixels)
     pad = chunks * n_pixels - n
-    log = jnp.pad(final.log, ((0, 0), (0, 0), (0, pad)))
+    log = jnp.pad(log, ((0, 0), (0, 0), (0, pad)))
     per_slot = log.reshape(3, num_slots, chunks, n_pixels).sum(axis=2)  # (3,K,n)
-    fb = jnp.zeros((n_pixels, 3), dtype)
+    fb = jnp.zeros((n_pixels, 3), log.dtype)
     for k in range(num_slots):
         offset = (k * n) % n_pixels
         fb = fb + jnp.roll(per_slot[:, k, :].T, offset, axis=0)
     if return_stats:
-        return fb, final.segments, final.iters
+        return fb, segments, iters
     return fb

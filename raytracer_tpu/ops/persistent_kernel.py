@@ -1,0 +1,753 @@
+"""Persistent Pallas megakernel: the ENTIRE regenerative wavefront loop in
+one kernel launch.
+
+Round-1 profiling (docs/PERF_NOTES.md) showed the bounce iteration split
+~2 ms of Pallas intersection + ~5 ms of XLA glue (resolve-table gather,
+shade/state elementwise, retirement-log add, threefry). This kernel removes
+the XLA half entirely: each grid program owns a (ROWS, 128) tile of lanes and
+runs the WHOLE render for those lanes — regeneration, camera sampling
+(camera.go:265-299), closest-hit intersection (hittables.go:96-132,167-194),
+material shading (materials.go:19-119, 297-313), russian roulette, and
+retirement — inside a single `lax.while_loop`, with all wavefront state
+resident in VMEM scratch and the retirement log accumulated directly in the
+output block. Nothing touches HBM per bounce.
+
+Because every tile drains independently, the straggler tail (a lane stuck on
+a long glass path) wastes only its own tile for the extra iterations instead
+of stalling the full 512K-lane wavefront — the dominant occupancy loss of
+the round-1 design.
+
+Winner-row resolve uses Mosaic's lane-wise `dynamic_gather`
+(jnp.take_along_axis on same-shape 2D operands): the 13 shading/geometry
+values of the winning primitive are fetched from a lane-replicated VMEM
+table in ceil(P/128) gathers per value — a few hundred vector ops per bounce
+versus the ~7000 serial SMEM scalar reads of a fused in-loop resolve
+(measured 12x slower) or the ~1.3 ms/iter XLA row gather of round 1.
+
+Supported in-kernel texture kinds: SOLID and CHECKER (all six reference
+scenes except earth/perlin); scenes with image or noise textures fall back
+to the round-1 front-half megakernel path.
+
+Estimator semantics are identical to integrator.wavefront.render_wavefront_
+regen (same camera math, same strided per-lane sample queues, same
+miss/emit/scatter/RR rules — ray.go:32-54), so images agree in distribution;
+RNG is the per-core hardware PRNG rather than threefry, seeded per
+(launch, program) for reproducibility.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.geometry.scene import (
+    DIELECTRIC,
+    DIFFUSE_LIGHT,
+    LAMBERTIAN,
+    METAL,
+    TEX_CHECKER,
+)
+
+LANES = 128
+DEFAULT_ROWS = 64  # best measured on v5e (76 vs 73 Mrays/s at 128 rows)
+INF = float("inf")
+T_MIN = 1e-3
+QUAD_DENOM_EPS = 1e-8
+TWO_PI = 6.283185307179586
+NEAR_ZERO = 1e-8
+
+# Camera/config scalar layout (f32 SMEM vector) — extends
+# ops/wavefront_kernel.py with the background color (in-kernel miss shading).
+CAM_PIXEL00 = 0  # 3
+CAM_DU = 3  # 3
+CAM_DV = 6  # 3
+CAM_CENTER = 9  # 3
+CAM_DISK_U = 12  # 3
+CAM_DISK_V = 15  # 3
+CAM_DEFOCUS = 18  # > 0 -> thin-lens sampling
+CAM_BG = 19  # 3 — flat background color (ray.go:53)
+N_CAM = 22
+
+# Resolve-table value rows (lane-replicated layout: row c*n_chunks + q holds
+# values for primitives [q*128, (q+1)*128) of column c, replicated so any
+# sublane can gather it).
+RES_G0 = 0  # sphere center x | quad unit-normal x
+RES_G1 = 1
+RES_G2 = 2
+RES_G3 = 3  # sphere 1/radius (signed: hollow glass) | 0 for quads
+RES_MT = 4  # material type enum
+RES_PRM = 5  # metal fuzz | dielectric ior
+RES_C0 = 6  # 3 — albedo / solid / checker-even color
+RES_C1 = 9  # 3 — checker-odd color
+RES_ITS = 12  # 1/checker-scale (0 -> solid)
+N_RES = 13
+
+
+def _uniform(shape):
+    """U[0,1) f32 from the hardware PRNG (24-bit mantissa construction).
+    prng_random_bits yields *signed* int32 — mask to 23 positive bits
+    (Mosaic cannot cast uint32->f32)."""
+    bits = pltpu.prng_random_bits(shape)
+    return (bits & 0x7FFFFF).astype(jnp.float32) * (1.0 / 8388608.0)
+
+
+def _persistent_kernel(
+    # scalar prefetch
+    sph_ref, quad_ref, cam_ref, seed_ref,
+    # VMEM in
+    res_ref,  # (N_RES * n_chunks, 128) f32 — lane-replicated resolve table
+    rem0_ref, px0_ref, py0_ref,  # per-lane schedule init
+    # outputs
+    log_ref,  # (1, 3*K*ROWS, 128) f32 VMEM — retirement log, accumulated
+    stats_ref,  # (1, 8, 128) i32 VMEM — [0,0]=segments, [0,1]=iterations
+    # scratch: wavefront state, VMEM-resident for the whole program
+    ox_s, oy_s, oz_s, dx_s, dy_s, dz_s,
+    tx_s, ty_s, tz_s, rx_s, ry_s, rz_s,
+    act_s, rem_s, px_s, py_s, sk_s, dep_s,
+    *,
+    width: int,
+    height: int,
+    jump_px: int,
+    jump_py: int,
+    num_slots: int,
+    rows: int,
+    n_chunks: int,
+    ns: int,
+    nq: int,
+    unroll: int,
+    max_depth: int,
+    rr_start: int,
+    rr_lo: float,
+    rr_hi: float,
+    sky_gradient: bool,
+    max_iters: int,
+    ablate: str = "",
+):
+    pid = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + pid * 7919)
+
+    shape = (rows, LANES)
+    zero = jnp.zeros(shape, jnp.float32)
+    izero = jnp.zeros(shape, jnp.int32)
+
+    # ---- init ----
+    ox_s[:] = zero
+    oy_s[:] = zero
+    oz_s[:] = zero
+    dx_s[:] = zero
+    dy_s[:] = zero + 1.0
+    dz_s[:] = zero
+    tx_s[:] = zero + 1.0
+    ty_s[:] = zero + 1.0
+    tz_s[:] = zero + 1.0
+    rx_s[:] = zero
+    ry_s[:] = zero
+    rz_s[:] = zero
+    act_s[:] = izero
+    rem_s[:] = rem0_ref[:]
+    px_s[:] = px0_ref[:]
+    py_s[:] = py0_ref[:]
+    sk_s[:] = izero - 1
+    dep_s[:] = izero
+    log_ref[0, :, :] = jnp.zeros((3 * num_slots * rows, LANES), jnp.float32)
+
+    def resolve(col, prim):
+        """Winner-row value for `col`: ceil(P/128) lane-gathers + selects."""
+        if "resolve" in ablate:  # perf-bisection: constant-fold the resolve
+            return zero + (0.5 if col >= RES_C0 else (1.0 if col in (RES_G3, RES_PRM) else 0.0))
+        val = zero
+        for q in range(n_chunks):
+            tb = jnp.broadcast_to(
+                res_ref[col * n_chunks + q : col * n_chunks + q + 1, :], shape
+            )
+            idx = prim - q * LANES
+            in_ch = jnp.logical_and(idx >= 0, idx < LANES)
+            idxc = jnp.clip(idx, 0, LANES - 1)
+            g = jnp.take_along_axis(tb, idxc, axis=1, mode="promise_in_bounds")
+            val = jnp.where(in_ch, g, val)
+        return val
+
+    def body(carry):
+        it, segs, _ = carry
+        act = act_s[:] > 0
+        rem = rem_s[:]
+
+        # ---- regeneration: strided pixel advance + camera ray ----
+        grant = jnp.logical_and(jnp.logical_not(act), rem > 0)
+        first = sk_s[:] < 0
+        px_adv = px_s[:] + jump_px
+        py_adv = py_s[:] + jump_py
+        carry_x = px_adv >= width
+        px_adv = jnp.where(carry_x, px_adv - width, px_adv)
+        py_adv = jnp.where(carry_x, py_adv + 1, py_adv)
+        wrap = py_adv >= height
+        py_adv = jnp.where(wrap, py_adv - height, py_adv)
+        px = jnp.where(grant, jnp.where(first, px_s[:], px_adv), px_s[:])
+        py = jnp.where(grant, jnp.where(first, py_s[:], py_adv), py_s[:])
+
+        # Camera sampling (camera.go:265-299): pixel jitter + defocus disk.
+        jx = _uniform(shape) - 0.5
+        jy = _uniform(shape) - 0.5
+        r_disk = jnp.sqrt(_uniform(shape))
+        phi = TWO_PI * _uniform(shape)
+        disk_x = r_disk * jnp.cos(phi)
+        disk_y = r_disk * jnp.sin(phi)
+
+        fx = px.astype(jnp.float32) + jx
+        fy = py.astype(jnp.float32) + jy
+        pcx = cam_ref[CAM_PIXEL00 + 0] + fx * cam_ref[CAM_DU + 0] + fy * cam_ref[CAM_DV + 0]
+        pcy = cam_ref[CAM_PIXEL00 + 1] + fx * cam_ref[CAM_DU + 1] + fy * cam_ref[CAM_DV + 1]
+        pcz = cam_ref[CAM_PIXEL00 + 2] + fx * cam_ref[CAM_DU + 2] + fy * cam_ref[CAM_DV + 2]
+        use_disk = cam_ref[CAM_DEFOCUS] > 0.0
+        cox = cam_ref[CAM_CENTER + 0] + jnp.where(
+            use_disk, disk_x * cam_ref[CAM_DISK_U + 0] + disk_y * cam_ref[CAM_DISK_V + 0], 0.0
+        )
+        coy = cam_ref[CAM_CENTER + 1] + jnp.where(
+            use_disk, disk_x * cam_ref[CAM_DISK_U + 1] + disk_y * cam_ref[CAM_DISK_V + 1], 0.0
+        )
+        coz = cam_ref[CAM_CENTER + 2] + jnp.where(
+            use_disk, disk_x * cam_ref[CAM_DISK_U + 2] + disk_y * cam_ref[CAM_DISK_V + 2], 0.0
+        )
+
+        ox = jnp.where(grant, cox, ox_s[:])
+        oy = jnp.where(grant, coy, oy_s[:])
+        oz = jnp.where(grant, coz, oz_s[:])
+        dx = jnp.where(grant, pcx - cox, dx_s[:])
+        dy = jnp.where(grant, pcy - coy, dy_s[:])
+        dz = jnp.where(grant, pcz - coz, dz_s[:])
+        tpx = jnp.where(grant, 1.0, tx_s[:])
+        tpy = jnp.where(grant, 1.0, ty_s[:])
+        tpz = jnp.where(grant, 1.0, tz_s[:])
+        rdx = jnp.where(grant, 0.0, rx_s[:])
+        rdy = jnp.where(grant, 0.0, ry_s[:])
+        rdz = jnp.where(grant, 0.0, rz_s[:])
+        depth = jnp.where(grant, 0, dep_s[:])
+        sk = jnp.where(grant, sk_s[:] + 1, sk_s[:])
+        rem = rem - grant.astype(jnp.int32)
+        active = jnp.logical_or(act, grant)
+
+        # ---- closest hit (scaled-t compare space; math identical to
+        # ops/intersect_kernel.py and hittables.go:96-132, 167-194) ----
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        d_dot_o = dx * ox + dy * oy + dz * oz
+        o_sq = ox * ox + oy * oy + oz * oz
+        tmin_a = T_MIN * a
+
+        def sphere_body(i, c):
+            t_b, p_b = c
+            base = i * 4
+            cx = sph_ref[base]
+            cy = sph_ref[base + 1]
+            cz = sph_ref[base + 2]
+            c2r2 = sph_ref[base + 3]
+            d_dot_c = dx * cx + dy * cy + dz * cz
+            o_dot_c = ox * cx + oy * cy + oz * cz
+            half_b = d_dot_o - d_dot_c
+            cc = o_sq - 2.0 * o_dot_c + c2r2
+            disc = half_b * half_b - a * cc
+            # sqrt(disc<0) = NaN; NaN comparisons are false -> miss.
+            sq = jnp.sqrt(disc)
+            nhb = -half_b
+            t0s = nhb - sq
+            t1s = nhb + sq
+            t_cand = jnp.where(t0s > tmin_a, t0s, jnp.where(t1s > tmin_a, t1s, INF))
+            b = t_cand < t_b
+            return jnp.where(b, t_cand, t_b), jnp.where(b, i, p_b)
+
+        # Mosaic fori_loop supports only full unroll; static per-sphere SMEM
+        # offsets let the scalar core run ahead of the VPU.
+        t_s, prim = jax.lax.fori_loop(
+            0,
+            ns,
+            sphere_body,
+            (jnp.full(shape, INF), jnp.full(shape, -1, jnp.int32)),
+            unroll=(ns if unroll and ns <= unroll else 1) or 1,
+        )
+
+        def quad_body(qi, c):
+            t_b, p_b = c
+            qb = qi * 12
+            nx = quad_ref[qb]
+            ny = quad_ref[qb + 1]
+            nz = quad_ref[qb + 2]
+            dplane = quad_ref[qb + 3]
+            d_n = dx * nx + dy * ny + dz * nz
+            o_n = ox * nx + oy * ny + oz * nz
+            denom_ok = jnp.abs(d_n) >= QUAD_DENOM_EPS
+            t = (dplane - o_n) / jnp.where(denom_ok, d_n, 1.0)
+            avx = quad_ref[qb + 4]
+            avy = quad_ref[qb + 5]
+            avz = quad_ref[qb + 6]
+            alpha = (
+                (ox * avx + oy * avy + oz * avz)
+                + t * (dx * avx + dy * avy + dz * avz)
+                - quad_ref[qb + 10]
+            )
+            bvx = quad_ref[qb + 7]
+            bvy = quad_ref[qb + 8]
+            bvz = quad_ref[qb + 9]
+            beta = (
+                (ox * bvx + oy * bvy + oz * bvz)
+                + t * (dx * bvx + dy * bvy + dz * bvz)
+                - quad_ref[qb + 11]
+            )
+            ok = (
+                denom_ok
+                & (t > T_MIN)
+                & (alpha >= 0.0)
+                & (alpha <= 1.0)
+                & (beta >= 0.0)
+                & (beta <= 1.0)
+            )
+            t_cand = jnp.where(ok, t * a, INF)  # scaled-t space
+            b = t_cand < t_b
+            return jnp.where(b, t_cand, t_b), jnp.where(b, ns + qi, p_b)
+
+        t_s, prim = jax.lax.fori_loop(
+            0, nq, quad_body, (t_s, prim),
+            unroll=(nq if unroll and nq <= unroll else 1) or 1,
+        )
+
+        hit = t_s < INF
+        t = jnp.where(hit, t_s * inv_a, 0.0)  # back from scaled-t space
+        primc = jnp.where(hit, prim, 0)
+
+        # ---- winner-row resolve: 13 lane-gathers, no scalar reads ----
+        g0 = resolve(RES_G0, primc)
+        g1 = resolve(RES_G1, primc)
+        g2 = resolve(RES_G2, primc)
+        g3 = resolve(RES_G3, primc)
+        mtype = resolve(RES_MT, primc).astype(jnp.int32)
+        prm = resolve(RES_PRM, primc)
+        c0x = resolve(RES_C0 + 0, primc)
+        c0y = resolve(RES_C0 + 1, primc)
+        c0z = resolve(RES_C0 + 2, primc)
+        c1x = resolve(RES_C1 + 0, primc)
+        c1y = resolve(RES_C1 + 1, primc)
+        c1z = resolve(RES_C1 + 2, primc)
+        its = resolve(RES_ITS, primc)
+
+        # ---- hit epilogue: point, outward normal, front face ----
+        ptx = ox + t * dx
+        pty = oy + t * dy
+        ptz = oz + t * dz
+        is_quad = primc >= ns
+        # Sphere outward normal = (p - c) * (1/r): unit with the hollow-glass
+        # sign flip for negative radius (hittables.go:119-120). Quads carry
+        # their unit plane normal in g0..g2 (g3 = 0).
+        onx = jnp.where(is_quad, g0, (ptx - g0) * g3)
+        ony = jnp.where(is_quad, g1, (pty - g1) * g3)
+        onz = jnp.where(is_quad, g2, (ptz - g2) * g3)
+        d_dot_n = dx * onx + dy * ony + dz * onz
+        front = d_dot_n < 0.0
+        fsign = jnp.where(front, 1.0, -1.0)
+        nx_ = onx * fsign
+        ny_ = ony * fsign
+        nz_ = onz * fsign
+
+        # ---- texture color (solid / 3D checker, materials.go:127-163) ----
+        is_checker = its > 0.0
+        cpar = (
+            jnp.floor(ptx * its).astype(jnp.int32)
+            + jnp.floor(pty * its).astype(jnp.int32)
+            + jnp.floor(ptz * its).astype(jnp.int32)
+        )
+        use_c1 = jnp.logical_and(is_checker, (cpar & 1) != 0)
+        texr = jnp.where(use_c1, c1x, c0x)
+        texg = jnp.where(use_c1, c1y, c0y)
+        texb = jnp.where(use_c1, c1z, c0z)
+
+        # ---- miss -> background / sky (ray.go:53) ----
+        if sky_gradient:
+            inv_dl0 = jax.lax.rsqrt(a)
+            sa = 0.5 * (dy * inv_dl0 + 1.0)
+            bgr = (1.0 - sa) + sa * 0.5
+            bgg = (1.0 - sa) + sa * 0.7
+            bgb = 1.0
+        else:
+            bgr = cam_ref[CAM_BG + 0]
+            bgg = cam_ref[CAM_BG + 1]
+            bgb = cam_ref[CAM_BG + 2]
+        miss = jnp.logical_and(active, jnp.logical_not(hit))
+        missf = miss.astype(jnp.float32)
+        rdx = rdx + missf * tpx * bgr
+        rdy = rdy + missf * tpy * bgg
+        rdz = rdz + missf * tpz * bgb
+
+        # ---- emission (materials.go:311-313) ----
+        live_hit = jnp.logical_and(active, hit)
+        is_light = mtype == DIFFUSE_LIGHT
+        emitf = jnp.logical_and(live_hit, is_light).astype(jnp.float32)
+        rdx = rdx + emitf * tpx * texr
+        rdy = rdy + emitf * tpy * texg
+        rdz = rdz + emitf * tpz * texb
+
+        # ---- scatter ----
+        # Unit sphere sample (Archimedes map, core.sampling).
+        u0 = _uniform(shape)
+        u1 = _uniform(shape)
+        sz = 1.0 - 2.0 * u0
+        sphi = TWO_PI * u1
+        sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
+        ssx = sr * jnp.cos(sphi)
+        ssy = sr * jnp.sin(sphi)
+        ssz = sz
+
+        inv_dl = jax.lax.rsqrt(a)
+        udx = dx * inv_dl
+        udy = dy * inv_dl
+        udz = dz * inv_dl
+
+        # Lambertian (materials.go:33-42) + near-zero guard (vec3.go:170-172).
+        ldx = nx_ + ssx
+        ldy = ny_ + ssy
+        ldz = nz_ + ssz
+        lnz = (
+            (jnp.abs(ldx) < NEAR_ZERO)
+            & (jnp.abs(ldy) < NEAR_ZERO)
+            & (jnp.abs(ldz) < NEAR_ZERO)
+        )
+        ldx = jnp.where(lnz, nx_, ldx)
+        ldy = jnp.where(lnz, ny_, ldy)
+        ldz = jnp.where(lnz, nz_, ldz)
+
+        # Metal (materials.go:60-75).
+        ud_n = udx * nx_ + udy * ny_ + udz * nz_
+        refx = udx - 2.0 * ud_n * nx_
+        refy = udy - 2.0 * ud_n * ny_
+        refz = udz - 2.0 * ud_n * nz_
+        mdx = refx + prm * ssx
+        mdy = refy + prm * ssy
+        mdz = refz + prm * ssz
+        metal_ok = (mdx * nx_ + mdy * ny_ + mdz * nz_) > 0.0
+
+        # Dielectric (materials.go:91-113; vec3.go:216-221).
+        eta = jnp.where(front, 1.0 / prm, prm)
+        cos_t = jnp.minimum(-(udx * nx_ + udy * ny_ + udz * nz_), 1.0)
+        sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 1e-12, 1.0))
+        cannot = sin_t * eta > 1.0
+        r0 = (1.0 - eta) / (1.0 + eta)
+        r0 = r0 * r0
+        om = 1.0 - cos_t
+        om2 = om * om
+        reflect_p = r0 + (1.0 - r0) * om2 * om2 * om
+        coin = _uniform(shape)
+        use_reflect = jnp.logical_or(cannot, reflect_p > coin)
+        perpx = eta * (udx + cos_t * nx_)
+        perpy = eta * (udy + cos_t * ny_)
+        perpz = eta * (udz + cos_t * nz_)
+        plen = perpx * perpx + perpy * perpy + perpz * perpz
+        par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - plen), 1e-12))
+        rfx = perpx + par * nx_
+        rfy = perpy + par * ny_
+        rfz = perpz + par * nz_
+        ddx = jnp.where(use_reflect, refx, rfx)
+        ddy = jnp.where(use_reflect, refy, rfy)
+        ddz = jnp.where(use_reflect, refz, rfz)
+
+        is_lamb = mtype == LAMBERTIAN
+        is_metal = mtype == METAL
+        is_diel = mtype == DIELECTRIC
+        sdx = jnp.where(is_lamb, ldx, jnp.where(is_metal, mdx, ddx))
+        sdy = jnp.where(is_lamb, ldy, jnp.where(is_metal, mdy, ddy))
+        sdz = jnp.where(is_lamb, ldz, jnp.where(is_metal, mdz, ddz))
+        attr = jnp.where(is_diel, 1.0, texr)
+        attg = jnp.where(is_diel, 1.0, texg)
+        attb = jnp.where(is_diel, 1.0, texb)
+        # (logical ops, not a where-on-bools: Mosaic cannot truncate the i8
+        # select result back to a vector mask)
+        scattered = jnp.logical_or(
+            jnp.logical_and(is_metal, metal_ok), jnp.logical_or(is_lamb, is_diel)
+        )
+
+        survives = jnp.logical_and(live_hit, scattered)
+        depth = depth + active.astype(jnp.int32)
+        survives = jnp.logical_and(survives, depth < max_depth)
+        ntx = jnp.where(survives, tpx * attr, tpx)
+        nty = jnp.where(survives, tpy * attg, tpy)
+        ntz = jnp.where(survives, tpz * attb, tpz)
+
+        # Russian roulette (unbiased tail trim; see wavefront.py docstring).
+        if rr_start < max_depth:
+            q = jnp.clip(jnp.maximum(ntx, jnp.maximum(nty, ntz)), rr_lo, rr_hi)
+            rru = _uniform(shape)
+            rr_on = jnp.logical_and(survives, depth >= rr_start)
+            survives = jnp.logical_and(
+                survives, jnp.logical_or(jnp.logical_not(rr_on), rru < q)
+            )
+            boost = jnp.logical_and(rr_on, survives)
+            inv_q = 1.0 / q
+            ntx = jnp.where(boost, ntx * inv_q, ntx)
+            nty = jnp.where(boost, nty * inv_q, nty)
+            ntz = jnp.where(boost, ntz * inv_q, ntz)
+
+        nox = jnp.where(survives, ptx, ox)
+        noy = jnp.where(survives, pty, oy)
+        noz = jnp.where(survives, ptz, oz)
+        ndx = jnp.where(survives, sdx, dx)
+        ndy = jnp.where(survives, sdy, dy)
+        ndz = jnp.where(survives, sdz, dz)
+
+        # ---- retire finished paths into the VMEM log ----
+        finished = jnp.logical_and(active, jnp.logical_not(survives))
+        for k in range(0 if "retire" in ablate else num_slots):
+            mk = jnp.logical_and(finished, sk == k).astype(jnp.float32)
+            r0_ = (0 * num_slots + k) * rows
+            r1_ = (1 * num_slots + k) * rows
+            r2_ = (2 * num_slots + k) * rows
+            log_ref[0, r0_:r0_ + rows, :] += mk * rdx
+            log_ref[0, r1_:r1_ + rows, :] += mk * rdy
+            log_ref[0, r2_:r2_ + rows, :] += mk * rdz
+
+        # ---- write back state ----
+        ox_s[:] = nox
+        oy_s[:] = noy
+        oz_s[:] = noz
+        dx_s[:] = ndx
+        dy_s[:] = ndy
+        dz_s[:] = ndz
+        tx_s[:] = ntx
+        ty_s[:] = nty
+        tz_s[:] = ntz
+        rx_s[:] = rdx
+        ry_s[:] = rdy
+        rz_s[:] = rdz
+        act_s[:] = survives.astype(jnp.int32)
+        rem_s[:] = rem
+        px_s[:] = px
+        py_s[:] = py
+        sk_s[:] = sk
+        dep_s[:] = depth
+
+        if "reduce" in ablate:  # perf-bisection: fixed trip count, no reduces
+            live = (it < 40).astype(jnp.int32)
+            nsegs = segs + rows * LANES
+        else:
+            live = jnp.logical_or(
+                jnp.max(survives.astype(jnp.int32)) > 0, jnp.max(rem) > 0
+            ).astype(jnp.int32)
+            nsegs = segs + jnp.sum(active.astype(jnp.int32))
+        return (it + 1, nsegs, live)
+
+    it, segs, _ = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[2] > 0, c[0] < max_iters),
+        body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(1)),
+    )
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    stats = jnp.where(
+        (row == 0) & (col == 0), segs, jnp.where((row == 0) & (col == 1), it, 0)
+    )
+    stats_ref[0, :, :] = stats
+
+
+def pack_persistent_tables(scene, qd):
+    """Pack intersect tables (S,4)/(Q,12) + the lane-replicated resolve table
+    (N_RES * n_chunks, 128).
+
+    Requires every texture referenced to be SOLID or CHECKER (the caller
+    gates on scene.has_image / scene.has_noise). `qd` is
+    geometry.intersect.quad_derived(scene).
+    """
+    c2r2 = jnp.sum(scene.sph_center * scene.sph_center, -1) - scene.sph_radius**2
+    c2r2 = jnp.where(scene.sph_radius == 0.0, 1e30, c2r2)
+    sph = jnp.concatenate([scene.sph_center, c2r2[:, None]], axis=1)
+    quad = jnp.concatenate(
+        [
+            qd.normal,
+            qd.d[:, None],
+            qd.av,
+            qd.bv,
+            qd.q_av[:, None],
+            qd.q_bv[:, None],
+        ],
+        axis=1,
+    )
+
+    def shading_cols(mat_id):
+        mtype = scene.mat_type[mat_id].astype(jnp.float32)
+        tex = scene.mat_tex[mat_id]
+        ttype = scene.tex_type[tex]
+        is_metal = mtype == float(METAL)
+        c0 = jnp.where(is_metal[:, None], scene.mat_albedo[mat_id], scene.tex_c0[tex])
+        c1 = scene.tex_c1[tex]
+        is_checker = jnp.logical_and(ttype == TEX_CHECKER, ~is_metal)
+        scale = scene.tex_scale[tex]
+        its = jnp.where(is_checker, 1.0 / jnp.where(scale != 0.0, scale, 1.0), 0.0)
+        prm = jnp.where(is_metal, scene.mat_fuzz[mat_id], scene.mat_ior[mat_id])
+        return mtype, prm, c0, c1, its
+
+    mt_s, prm_s, c0_s, c1_s, its_s = shading_cols(scene.sph_mat)
+    mt_q, prm_q, c0_q, c1_q, its_q = shading_cols(scene.quad_mat)
+    safe_r = jnp.where(scene.sph_radius != 0.0, scene.sph_radius, 1.0)
+    inv_r = jnp.where(scene.sph_radius != 0.0, 1.0 / safe_r, 0.0)
+
+    # Per-primitive resolve columns (spheres then quads).
+    cols = [
+        jnp.concatenate([scene.sph_center[:, 0], qd.normal[:, 0]]),  # G0
+        jnp.concatenate([scene.sph_center[:, 1], qd.normal[:, 1]]),  # G1
+        jnp.concatenate([scene.sph_center[:, 2], qd.normal[:, 2]]),  # G2
+        jnp.concatenate([inv_r, jnp.zeros_like(qd.d)]),  # G3
+        jnp.concatenate([mt_s, mt_q]),  # MT
+        jnp.concatenate([prm_s, prm_q]),  # PRM
+        jnp.concatenate([c0_s[:, 0], c0_q[:, 0]]),
+        jnp.concatenate([c0_s[:, 1], c0_q[:, 1]]),
+        jnp.concatenate([c0_s[:, 2], c0_q[:, 2]]),
+        jnp.concatenate([c1_s[:, 0], c1_q[:, 0]]),
+        jnp.concatenate([c1_s[:, 1], c1_q[:, 1]]),
+        jnp.concatenate([c1_s[:, 2], c1_q[:, 2]]),
+        jnp.concatenate([its_s, its_q]),  # ITS
+    ]
+    p = cols[0].shape[0]
+    n_chunks = -(-p // LANES)
+    pad = n_chunks * LANES - p
+    res = jnp.stack([jnp.pad(c, (0, pad)) for c in cols])  # (N_RES, P_pad)
+    res = res.reshape(N_RES * n_chunks, LANES)
+    return sph.astype(jnp.float32), quad.astype(jnp.float32), res.astype(jnp.float32)
+
+
+def pack_camera_scalars_bg(frame, background) -> jnp.ndarray:
+    """(N_CAM,) f32 camera + background scalars."""
+    return jnp.concatenate(
+        [
+            frame.pixel00,
+            frame.pixel_du,
+            frame.pixel_dv,
+            frame.center,
+            frame.defocus_disk_u,
+            frame.defocus_disk_v,
+            frame.defocus_angle_radians[None],
+            jnp.asarray(background, jnp.float32),
+        ]
+    ).astype(jnp.float32)
+
+
+def scene_supports_persistent(scene) -> bool:
+    """The in-kernel shader covers SOLID + CHECKER textures (all four
+    materials); image/noise scenes use the front-half megakernel path."""
+    return not (scene.has_image or scene.has_noise)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "jump_px", "jump_py", "num_slots", "rows", "unroll",
+        "max_depth", "rr_start", "rr_lo", "rr_hi", "sky_gradient", "ablate",
+    ),
+)
+def render_persistent_pallas(
+    sph_table,
+    quad_table,
+    res_table,
+    cam_scalars,
+    seed,
+    rem0,
+    px0,
+    py0,
+    *,
+    width: int,
+    height: int,
+    jump_px: int,
+    jump_py: int,
+    num_slots: int,
+    rows: int = DEFAULT_ROWS,
+    unroll: int = 0,  # >=P: fully unroll primitive loops (measured slower at
+    # 489 spheres: 21.6 vs 80+ Mrays/s rolled — the huge unrolled body blows
+    # the instruction budget; keep rolled by default)
+    max_depth: int = 50,
+    rr_start: int = 5,
+    rr_lo: float = 0.05,
+    rr_hi: float = 0.95,
+    sky_gradient: bool = False,
+    ablate: str = "",
+):
+    """Run the full wavefront render in one kernel launch.
+
+    Args:
+      sph_table (S,4), quad_table (Q,12), res_table (N_RES*n_chunks, 128):
+        from pack_persistent_tables.
+      cam_scalars: (N_CAM,) from pack_camera_scalars_bg.
+      seed: () i32.
+      rem0, px0, py0: (N,) i32 per-lane schedule init (samples owed, first
+        pixel) — the strided queue of integrator.wavefront.
+
+    Returns (log (3, num_slots, N) f32, segments () i32, iters () i32).
+    `iters` is summed over tiles; occupancy = segments / (iters * rows * 128).
+    """
+    n = rem0.shape[0]
+    tile = rows * LANES
+    assert n % tile == 0, (n, tile)
+    grid = n // tile
+    rows_n = n // LANES
+    n_chunks = res_table.shape[0] // N_RES
+
+    ispec = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    res_spec = pl.BlockSpec(
+        (N_RES * n_chunks, LANES), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+    )
+    log_spec = pl.BlockSpec(
+        (1, 3 * num_slots * rows, LANES), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    stats_spec = pl.BlockSpec(
+        (1, 8, LANES), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    # Worst-case iteration bound (safety net; a tile's work cannot exceed its
+    # max per-lane sample count times the depth budget).
+    max_iters = num_slots * (max_depth + 2) + 8
+
+    kernel = partial(
+        _persistent_kernel,
+        width=width,
+        height=height,
+        jump_px=jump_px,
+        jump_py=jump_py,
+        num_slots=num_slots,
+        rows=rows,
+        n_chunks=n_chunks,
+        ns=int(sph_table.shape[0]),
+        nq=int(quad_table.shape[0]),
+        unroll=unroll,
+        max_depth=max_depth,
+        rr_start=rr_start,
+        rr_lo=rr_lo,
+        rr_hi=rr_hi,
+        sky_gradient=sky_gradient,
+        max_iters=max_iters,
+        ablate=ablate,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(grid,),
+        in_specs=[res_spec] + [ispec] * 3,
+        out_specs=[log_spec, stats_spec],
+        scratch_shapes=(
+            [pltpu.VMEM((rows, LANES), jnp.float32)] * 12
+            + [pltpu.VMEM((rows, LANES), jnp.int32)] * 6
+        ),
+    )
+    def planar(x):
+        return x.reshape(rows_n, LANES)
+
+    log, stats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, 3 * num_slots * rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 8, LANES), jnp.int32),
+        ],
+    )(
+        sph_table.reshape(-1), quad_table.reshape(-1), cam_scalars,
+        jnp.asarray([seed], jnp.int32),
+        res_table, planar(rem0), planar(px0), planar(py0),
+    )
+    # Block rows are (ch * K + k) * rows + r; lane = g * tile + r * 128 + c.
+    log = log.reshape(grid, 3, num_slots, rows, LANES)
+    log = jnp.transpose(log, (1, 2, 0, 3, 4)).reshape(3, num_slots, n)
+    return log, jnp.sum(stats[:, 0, 0]), jnp.sum(stats[:, 0, 1])

@@ -12,6 +12,7 @@ completed chunk.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import NamedTuple
 
@@ -23,13 +24,33 @@ from raytracer_tpu.core.camera import Camera, RenderSettings
 from raytracer_tpu.geometry.scene import Scene
 from raytracer_tpu.render.driver import render_regen
 
-CHECKPOINT_VERSION = 1
+CHECKPOINT_VERSION = 2
+
+
+def config_fingerprint(scene, cam, settings, spp_per_chunk: int, seed: int) -> str:
+    """Hash of everything that determines the accumulated image: scene and
+    camera leaves, render settings, the chunk size the schedule actually uses,
+    and the seed. Resuming under a different configuration would silently
+    blend inconsistent accumulations or reuse chunk PRNG keys (advisor
+    finding, round 1), so load refuses on mismatch."""
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves((scene, cam)):
+        arr = np.asarray(leaf)
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    h.update(repr(tuple(settings)).encode())
+    h.update(str(int(spp_per_chunk)).encode())
+    h.update(str(int(seed)).encode())
+    return h.hexdigest()
 
 
 class RenderCheckpoint(NamedTuple):
     acc: np.ndarray  # (H, W, 3) radiance sums over completed samples
     done_spp: int
     seed: int
+    chunk_idx: int = 0  # next chunk to run (persisted, not recomputed)
+    config_hash: str = ""  # config_fingerprint at save time
 
 
 def save_checkpoint(path: str, ckpt: RenderCheckpoint) -> None:
@@ -41,6 +62,8 @@ def save_checkpoint(path: str, ckpt: RenderCheckpoint) -> None:
         acc=np.asarray(ckpt.acc),
         done_spp=ckpt.done_spp,
         seed=ckpt.seed,
+        chunk_idx=ckpt.chunk_idx,
+        config_hash=np.array(ckpt.config_hash),
     )
     os.replace(tmp + ".npz", path)
 
@@ -52,7 +75,11 @@ def load_checkpoint(path: str) -> RenderCheckpoint | None:
         if int(z["version"]) != CHECKPOINT_VERSION:
             return None
         return RenderCheckpoint(
-            acc=z["acc"], done_spp=int(z["done_spp"]), seed=int(z["seed"])
+            acc=z["acc"],
+            done_spp=int(z["done_spp"]),
+            seed=int(z["seed"]),
+            chunk_idx=int(z["chunk_idx"]),
+            config_hash=str(z["config_hash"]),
         )
 
 
@@ -80,16 +107,22 @@ def render_with_checkpoints(
     if spp_per_chunk is None:
         spp_per_chunk = max(1, min(spp, (64 * wavefront) // max(1, n)))
 
-    done, acc = 0, jnp.zeros((h, w, 3), jnp.float32)
+    fingerprint = config_fingerprint(scene, cam, settings, spp_per_chunk, seed)
+    done, acc, chunk_idx = 0, jnp.zeros((h, w, 3), jnp.float32), 0
     if checkpoint_path:
         ck = load_checkpoint(checkpoint_path)
-        if ck is not None and ck.seed == seed and ck.acc.shape == (h, w, 3):
-            done, acc = ck.done_spp, jnp.asarray(ck.acc)
+        if ck is not None:
+            if ck.config_hash != fingerprint:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} was written under a "
+                    "different scene/camera/settings/chunking configuration; "
+                    "refusing to resume (delete it to restart)"
+                )
+            done, acc, chunk_idx = ck.done_spp, jnp.asarray(ck.acc), ck.chunk_idx
             if progress:
                 print(f"resumed at {done}/{spp} spp", flush=True)
 
     key = jax.random.PRNGKey(seed)
-    chunk_idx = done // spp_per_chunk
     chunks_run = 0
     while done < spp:
         if max_chunks is not None and chunks_run >= max_chunks:
@@ -115,7 +148,13 @@ def render_with_checkpoints(
         if checkpoint_path:
             save_checkpoint(
                 checkpoint_path,
-                RenderCheckpoint(acc=np.asarray(acc), done_spp=done, seed=seed),
+                RenderCheckpoint(
+                    acc=np.asarray(acc),
+                    done_spp=done,
+                    seed=seed,
+                    chunk_idx=chunk_idx,
+                    config_hash=fingerprint,
+                ),
             )
         if progress:
             print(f"spp {done}/{spp}", flush=True)

@@ -91,6 +91,9 @@ def render_pass(
         "sky_gradient",
         "use_pallas",
         "use_megakernel",
+        "use_persistent",
+        "persistent_rows",
+        "rr_max_q",
         "return_stats",
     ),
 )
@@ -107,6 +110,9 @@ def _render_regen_fb(
     sky_gradient: bool,
     use_pallas: bool = False,
     use_megakernel: bool = False,
+    use_persistent: bool = False,
+    persistent_rows: int = 0,
+    rr_max_q: float = 0.95,
     return_stats: bool = False,
 ):
     frame = camera_frame(cam, width, height)
@@ -123,6 +129,9 @@ def _render_regen_fb(
         sky_gradient=sky_gradient,
         use_pallas=use_pallas,
         use_megakernel=use_megakernel,
+        use_persistent=use_persistent,
+        persistent_rows=persistent_rows,
+        rr_max_q=rr_max_q,
         return_stats=return_stats,
     )
 
@@ -169,7 +178,12 @@ def render_image(
     key = jax.random.PRNGKey(seed)
 
     if regenerative:
-        use_pallas = jax.default_backend() == "tpu"
+        from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = on_tpu
+        # Whole-loop-in-kernel fast path: solid/checker scenes on TPU.
+        use_persistent = on_tpu and scene_supports_persistent(scene)
         # Wavefront at least one full image (capped): chunking a big image
         # through a small wavefront measured 10x slower (per-call overheads +
         # low occupancy) — 1200x800@500spp went 432s -> ~25s with this.
@@ -177,8 +191,11 @@ def render_image(
         wavefront = int(max(target_rays_per_pass, min(n, max_wavefront)))
         # Bound the regen retirement log (3, K, N): K = ceil(n*spp_chunk/N).
         # Keep K <= 64 (~768 MB at N=1M) by chunking the spp budget; equal
-        # chunk sizes so every chunk reuses ONE compiled executable.
-        max_slots = 64
+        # chunk sizes so every chunk reuses ONE compiled executable. The
+        # persistent kernel holds its tile's log slice in VMEM
+        # (3*K*rows*128 f32), so cap tighter there: K=40 at rows=64 is
+        # ~3.9 MB of the ~16 MB VMEM (K=86 fails to compile).
+        max_slots = 40 if use_persistent else 64
         cap = max(1, min(spp, (max_slots * wavefront) // max(1, n)))
         # Prefer a divisor of spp: every chunk is the same size -> exactly
         # ONE compiled executable (a second chunk size costs a ~minute-scale
@@ -200,7 +217,14 @@ def render_image(
                 max_depth=settings.max_depth,
                 sky_gradient=settings.sky_gradient,
                 use_pallas=use_pallas,
-                use_megakernel=use_pallas,  # fused front-half on TPU
+                use_megakernel=use_pallas and not use_persistent,
+                use_persistent=use_persistent,
+                # Tighter russian-roulette cap on the persistent path: glass
+                # paths at q=0.95 run ~25 bounces and a tile drains at the
+                # pace of its slowest lane; q=0.75 cuts the tail to ~9 and
+                # lifts measured occupancy 0.43 -> 0.60 (105 vs 78 Mrays/s
+                # at 64 spp) while staying unbiased (RR throughput boost).
+                rr_max_q=0.75 if use_persistent else 0.95,
             ) * jnp.float32(step_spp)
             done += step_spp
             chunk_idx += 1

@@ -49,19 +49,24 @@ def test_resume_is_bit_identical(tmp_path):
     assert ck.done_spp == 8
 
 
-def test_mismatched_seed_restarts(tmp_path):
+def test_mismatched_config_refuses(tmp_path):
+    """Resuming under a different seed/scene/settings must refuse loudly —
+    silently blending inconsistent accumulations was the round-1 advisor
+    finding (checkpoint.py config_fingerprint)."""
+    import pytest
+
     scene, cam, settings = _setup()
     ckpt = str(tmp_path / "render.ckpt.npz")
     render_with_checkpoints(
         scene, cam, settings, seed=1, spp_per_chunk=2, checkpoint_path=ckpt,
         max_chunks=1,
     )
-    out = np.asarray(
+    with pytest.raises(ValueError, match="different scene/camera"):
         render_with_checkpoints(
             scene, cam, settings, seed=2, spp_per_chunk=2, checkpoint_path=ckpt
         )
-    )
-    full = np.asarray(
-        render_with_checkpoints(scene, cam, settings, seed=2, spp_per_chunk=2)
-    )
-    np.testing.assert_array_equal(out, full)
+    # Different spp_per_chunk (changes the chunk PRNG schedule) also refuses.
+    with pytest.raises(ValueError, match="different scene/camera"):
+        render_with_checkpoints(
+            scene, cam, settings, seed=1, spp_per_chunk=4, checkpoint_path=ckpt
+        )

@@ -1,0 +1,148 @@
+"""Persistent megakernel (ops/persistent_kernel.py) correctness tests.
+
+Interpreter mode on CPU. The interpreter stubs the hardware PRNG to zeros, so
+distribution checks live in the TPU self-check script
+(scripts/check_persistent_tpu.py); here we use *exact* invariants that hold
+for any uniforms:
+
+* miss-only scene: every sample retires background radiance exactly once, so
+  the folded framebuffer is exactly spp * background per pixel — this pins
+  the whole regeneration / strided-queue / retirement / fold pipeline.
+* full-frame emitter: every camera ray hits the light and terminates, so the
+  framebuffer is exactly spp * emit.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.core.camera import camera_frame, make_camera
+from raytracer_tpu.geometry.scene import SceneBuilder
+from raytracer_tpu.integrator.wavefront import render_wavefront_regen
+
+
+def _render_persistent(scene, cam, settings, spp, wavefront, **kw):
+    frame = camera_frame(cam, settings.width, settings.height)
+    ctx = pltpu.force_tpu_interpret_mode()
+    ctx.__enter__()
+    try:
+        out = render_wavefront_regen(
+            scene,
+            frame,
+            cam.background,
+            width=settings.width,
+            height=settings.height,
+            spp=spp,
+            wavefront_size=wavefront,
+            key=jax.random.PRNGKey(3),
+            max_depth=settings.max_depth,
+            use_persistent=True,
+            return_stats=True,
+            **kw,
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+    finally:
+        ctx.__exit__(None, None, None)
+    return out
+
+
+def test_persistent_miss_only_exact_accounting():
+    """No geometry: every sample = background, retired exactly once."""
+    b = SceneBuilder(0)
+    b.lambertian((0.5, 0.5, 0.5))  # unused material so tables are non-empty
+    scene = b.build()
+    cam, settings = make_camera(
+        1.0, 16, samples_per_pixel=5, max_depth=8, background=(0.2, 0.4, 0.6),
+        look_from=(0, 0, 2), look_at=(0, 0, 0),
+    )
+    spp = 5
+    fb, segs, iters = _render_persistent(scene, cam, settings, spp, 1024)
+    n_pix = settings.width * settings.height
+    # Every camera ray misses -> one segment per sample.
+    assert int(segs) == n_pix * spp, (int(segs), n_pix * spp)
+    expect = np.tile(np.array([0.2, 0.4, 0.6], np.float32) * spp, (n_pix, 1))
+    np.testing.assert_allclose(fb, expect, rtol=1e-5, atol=1e-5)
+    assert int(iters) > 0
+
+
+def test_persistent_emitter_exact():
+    """A huge emissive sphere around the camera: every ray hits, emits,
+    terminates. Framebuffer == spp * emit exactly."""
+    b = SceneBuilder(0)
+    light = b.diffuse_light((3.0, 2.0, 1.0))
+    b.add_sphere((0, 0, 0), 100.0, light)
+    scene = b.build()
+    cam, settings = make_camera(
+        1.0, 8, samples_per_pixel=3, max_depth=8, background=(9, 9, 9),
+        look_from=(0, 0, 0), look_at=(0, 0, -1),
+    )
+    spp = 3
+    fb, segs, iters = _render_persistent(scene, cam, settings, spp, 1024)
+    n_pix = settings.width * settings.height
+    assert int(segs) == n_pix * spp
+    expect = np.tile(np.array([3.0, 2.0, 1.0], np.float32) * spp, (n_pix, 1))
+    np.testing.assert_allclose(fb, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_persistent_matches_intersection_oracle():
+    """Random solid/checker scene: the kernel's own camera rays and winning
+    hits must agree with the jnp dense intersector on a one-bounce render.
+
+    With zero uniforms (interpreter PRNG stub), camera rays are deterministic
+    (pixel corner, no defocus), so we can re-derive them and check the t of
+    the first bounce indirectly: a 1-depth render of a pure-emitter scene
+    equals emitted-where-hit + bg-where-miss, which exercises sphere AND quad
+    intersection + front-face logic in the kernel against the jnp oracle."""
+    from raytracer_tpu.core.camera import camera_rays
+    from raytracer_tpu.geometry.intersect import intersect_scene
+
+    rng = np.random.default_rng(7)
+    b = SceneBuilder(0)
+    light = b.diffuse_light((1.0, 0.5, 0.25))
+    for _ in range(12):
+        b.add_sphere(rng.uniform(-4, 4, 3), rng.uniform(0.4, 1.2), light)
+    for _ in range(5):
+        b.add_quad(
+            rng.uniform(-4, 4, 3), rng.uniform(-2, 2, 3), rng.uniform(-2, 2, 3), light
+        )
+    scene = b.build()
+    w = 16
+    cam, settings = make_camera(
+        1.0, w, samples_per_pixel=1, max_depth=4, background=(0.1, 0.2, 0.3),
+        look_from=(0, 0, 10), look_at=(0, 0, 0), fov_degrees=45,
+    )
+    fb, segs, iters = _render_persistent(scene, cam, settings, 1, 1024)
+
+    # Re-derive the kernel's deterministic camera rays: zero uniforms.
+    frame = camera_frame(cam, w, w)
+    pix = np.arange(w * w, dtype=np.int32)
+    uni = np.zeros((w * w, 4), np.float32)
+    o, d = camera_rays(frame, jnp.asarray(pix % w), jnp.asarray(pix // w), jnp.asarray(uni))
+    ref = intersect_scene(scene, o, d)
+    hit = np.asarray(ref.hit)
+    expect = np.where(
+        hit[:, None],
+        np.array([1.0, 0.5, 0.25], np.float32),
+        np.array([0.1, 0.2, 0.3], np.float32),
+    )
+    np.testing.assert_allclose(fb, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_persistent_multi_slot_schedule():
+    """spp large enough that lanes own several strided samples (num_slots > 1)
+    and the wavefront is smaller than the sample budget."""
+    b = SceneBuilder(0)
+    b.lambertian((0.5, 0.5, 0.5))
+    scene = b.build()
+    cam, settings = make_camera(
+        1.0, 32, samples_per_pixel=7, max_depth=4, background=(1.0, 0.5, 0.25),
+        look_from=(0, 0, 2), look_at=(0, 0, 0),
+    )
+    spp = 7
+    fb, segs, iters = _render_persistent(scene, cam, settings, spp, 1024 + 1024)
+    n_pix = 32 * 32
+    assert int(segs) == n_pix * spp
+    expect = np.tile(np.array([1.0, 0.5, 0.25], np.float32) * spp, (n_pix, 1))
+    np.testing.assert_allclose(fb, expect, rtol=1e-5, atol=1e-4)
