@@ -184,6 +184,40 @@ class RegenState(NamedTuple):
     iters: jnp.ndarray  # () i32 — loop iterations (occupancy metric)
 
 
+def strided_schedule(n_pixels: int, spp: int, wavefront_size: int):
+    """Static layout of the strided per-lane sample queue.
+
+    Lane L owns sample ids L, L+N, L+2N, ... (< n_pixels*spp); returns
+    (n, num_slots, jump) where `n` is the wavefront size rounded to Pallas
+    tiles (and nudged so the pixel jump is nonzero), `num_slots` the max
+    samples any lane owns, and `jump` the per-regeneration pixel advance.
+    All python ints (baked into kernels)."""
+    from raytracer_tpu.ops import intersect_kernel as ik
+
+    total_samples = n_pixels * spp
+    tile = ik.DEFAULT_ROWS * ik.LANES
+    n = min(wavefront_size, total_samples)
+    n = -(-n // tile) * tile
+    # Lane count with a nonzero pixel jump (a zero jump would statically bind
+    # lanes to pixels and break load balancing).
+    if n % n_pixels == 0 and total_samples > n:
+        n += tile
+    num_slots = -(-total_samples // n)  # ceil: max samples per lane
+    return n, num_slots, n % n_pixels
+
+
+def schedule_arrays(n: int, n_pixels: int, spp: int, width: int):
+    """Per-lane schedule data for `strided_schedule`'s layout: samples owed
+    and first pixel. Pure data (devices in a sharded render differ only
+    here, never in the compiled program)."""
+    total_samples = n_pixels * spp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    # ceil((T-L)/N), clamped: padding lanes beyond the budget own 0 samples.
+    init_remaining = jnp.maximum((total_samples - lane + n - 1) // n, 0)
+    init_pixel = lane % n_pixels
+    return init_remaining.astype(jnp.int32), init_pixel % width, init_pixel // width
+
+
 def render_wavefront_regen(
     scene: Scene,
     frame,
@@ -244,6 +278,65 @@ def render_wavefront_regen(
     samples per pixel (divide by spp for the mean); with return_stats also
     (segments, iterations).
     """
+    n_pixels = width * height
+    n, num_slots, _jump = strided_schedule(n_pixels, spp, wavefront_size)
+    init_remaining, init_px, init_py = schedule_arrays(n, n_pixels, spp, width)
+    return regen_core(
+        scene,
+        frame,
+        background,
+        init_remaining,
+        init_px,
+        init_py,
+        key,
+        width=width,
+        height=height,
+        num_slots=num_slots,
+        max_depth=max_depth,
+        sky_gradient=sky_gradient,
+        russian_roulette=russian_roulette,
+        rr_start_depth=rr_start_depth,
+        rr_max_q=rr_max_q,
+        use_pallas=use_pallas,
+        use_megakernel=use_megakernel,
+        use_persistent=use_persistent,
+        persistent_rows=persistent_rows,
+        return_stats=return_stats,
+    )
+
+
+def regen_core(
+    scene: Scene,
+    frame,
+    background,
+    init_remaining,
+    init_px,
+    init_py,
+    key,
+    *,
+    width: int,
+    height: int,
+    num_slots: int,
+    max_depth: int = 50,
+    sky_gradient: bool = False,
+    russian_roulette: bool = True,
+    rr_start_depth: int = 5,
+    rr_max_q: float = 0.95,
+    use_pallas: bool = False,
+    use_megakernel: bool = False,
+    use_persistent: bool = False,
+    persistent_rows: int = 0,
+    return_stats: bool = False,
+):
+    """Run the regenerative wavefront loop over an explicit per-lane schedule
+    (`init_remaining`/`init_px`/`init_py` of shape (N,), from
+    `schedule_arrays`) and fold the retirement log into a (n_pixels, 3)
+    framebuffer of radiance sums.
+
+    This is the single-device core; `render_wavefront_regen` wraps it with
+    the standard schedule, and `parallel.shard.render_regen_sharded` runs it
+    per-device under shard_map (same compiled program on every device —
+    devices differ only in schedule *data* and PRNG key)."""
     from raytracer_tpu.core.camera import camera_rays  # local: avoid cycle
 
     from raytracer_tpu.geometry.intersect import closest_hit_t_prim, quad_derived
@@ -252,17 +345,7 @@ def render_wavefront_regen(
     from raytracer_tpu.ops import intersect_kernel as ik
 
     n_pixels = width * height
-    total_samples = n_pixels * spp
-    # Pallas tiles are rows*128 rays; keep the wavefront a multiple of one
-    # tile (harmless for the jnp path).
-    tile = ik.DEFAULT_ROWS * ik.LANES
-    n = min(wavefront_size, total_samples)
-    n = -(-n // tile) * tile
-    # Lane count with a nonzero pixel jump (a zero jump would statically bind
-    # lanes to pixels and break load balancing).
-    if n % n_pixels == 0 and total_samples > n:
-        n += tile
-    num_slots = -(-total_samples // n)  # ceil: max samples per lane
+    n = init_remaining.shape[0]
 
     qd = quad_derived(scene)
     resolve_table = primitive_resolve_table(scene, qd)
@@ -281,13 +364,6 @@ def render_wavefront_regen(
     jump = n % n_pixels  # pixel advance per regeneration
     jump_px = jump % width
     jump_py = jump // width
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    # ceil((T-L)/N), clamped: padding lanes beyond the budget own 0 samples.
-    init_remaining = jnp.maximum((total_samples - lane + n - 1) // n, 0)
-    init_pixel = lane % n_pixels
-    init_px = init_pixel % width
-    init_py = init_pixel // width
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (num_slots, 1), 0)  # (K,1)
 
     if use_persistent:

@@ -24,7 +24,12 @@ except ImportError:  # pragma: no cover
 
 from raytracer_tpu.core.camera import Camera, RenderSettings, camera_frame, camera_rays
 from raytracer_tpu.geometry.scene import Scene
-from raytracer_tpu.integrator.wavefront import trace
+from raytracer_tpu.integrator.wavefront import (
+    regen_core,
+    schedule_arrays,
+    strided_schedule,
+    trace,
+)
 from raytracer_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS
 
 
@@ -117,6 +122,119 @@ def sharded_samples_per_pass(spp: int, num_pixels: int, mesh: Mesh, target_rays:
     return n_samp if spp % n_samp == 0 else spp
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "width",
+        "height",
+        "spp",
+        "wavefront_per_device",
+        "max_depth",
+        "sky_gradient",
+        "use_pallas",
+        "use_megakernel",
+        "use_persistent",
+        "rr_max_q",
+        "return_stats",
+    ),
+)
+def render_regen_sharded(
+    scene: Scene,
+    cam: Camera,
+    key,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spp: int,
+    wavefront_per_device: int,
+    max_depth: int,
+    sky_gradient: bool,
+    use_pallas: bool = False,
+    use_megakernel: bool = False,
+    use_persistent: bool = False,
+    rr_max_q: float = 0.95,
+    return_stats: bool = False,
+):
+    """The production fast path, sharded: every device runs the full
+    regenerative wavefront loop (persistent Pallas kernel / megakernel / jnp
+    body — same `regen_core` as single-device) on its own slice of the spp
+    budget, then the per-pixel partial sums reduce over the mesh with one
+    `psum` riding ICI.
+
+    The spp budget splits as evenly as integers allow across all D = tiles x
+    samples devices; devices differ only in their per-lane sample-queue
+    *data* (`init_remaining`) and PRNG key — it is one compiled SPMD program
+    (the TPU-native analog of the reference's identical workers pulling from
+    a shared pixel queue, camera.go:167-230). Rays never migrate between
+    devices; the wavefront loop itself needs zero communication.
+
+    Returns the (height, width, 3) framebuffer of radiance *sums* over spp
+    (divide by spp for the mean); with return_stats also (total_segments,
+    max_per_device_iters, summed_iters) — max/sum agreeing means perfect
+    load balance (the scaling-efficiency proxy without real multi-chip
+    hardware).
+    """
+    n_pixels = width * height
+    n_dev = mesh.devices.size
+    frame = camera_frame(cam, width, height)
+
+    # Per-device sample budgets (sum == spp exactly; differ by <= 1).
+    spp_dev = [spp // n_dev + (1 if i < spp % n_dev else 0) for i in range(n_dev)]
+    n_loc, num_slots, _ = strided_schedule(n_pixels, max(spp_dev), wavefront_per_device)
+    rem_rows = []
+    px0 = py0 = None
+    for s_d in spp_dev:
+        rem_d, px0, py0 = schedule_arrays(n_loc, n_pixels, s_d, width)
+        rem_rows.append(rem_d)
+    rem0 = jnp.stack(rem_rows)  # (D, n_loc) — the only per-device data
+
+    def local_render(rem_block, key):
+        dev = jax.lax.axis_index(TILE_AXIS) * mesh.shape[SAMPLE_AXIS] + jax.lax.axis_index(
+            SAMPLE_AXIS
+        )
+        fb, segs, iters = regen_core(
+            scene,
+            frame,
+            cam.background,
+            rem_block[0],
+            px0,
+            py0,
+            jax.random.fold_in(key, dev),
+            width=width,
+            height=height,
+            num_slots=num_slots,
+            max_depth=max_depth,
+            sky_gradient=sky_gradient,
+            rr_max_q=rr_max_q,
+            use_pallas=use_pallas,
+            use_megakernel=use_megakernel,
+            use_persistent=use_persistent,
+            return_stats=True,
+        )
+        axes = (TILE_AXIS, SAMPLE_AXIS)
+        fb = jax.lax.psum(fb, axes)  # the one collective: per-pixel sums
+        return (
+            fb,
+            jax.lax.psum(segs, axes),
+            jax.lax.pmax(iters, axes),
+            jax.lax.psum(iters, axes),
+        )
+
+    fb, segs, iters_max, iters_sum = shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P((TILE_AXIS, SAMPLE_AXIS)), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,  # while_loop carry inits are unvarying constants
+    )(rem0, key)
+    fb = fb.reshape(height, width, 3)
+    if return_stats:
+        return fb, segs, iters_max, iters_sum
+    return fb
+
+
 def render_image_sharded(
     scene: Scene,
     cam: Camera,
@@ -125,14 +243,62 @@ def render_image_sharded(
     *,
     seed: int = 0,
     target_rays_per_pass: int = 1 << 20,
+    regenerative: bool = True,
 ) -> jnp.ndarray:
-    """Full sharded render; returns linear mean radiance (H, W, 3)."""
+    """Full sharded render; returns linear mean radiance (H, W, 3).
+
+    regenerative=True (default) runs the production fast path on every
+    device (`render_regen_sharded`); False keeps the simple per-pass batch
+    tracer (`render_pass_sharded`, the shape the differentiable path uses).
+    """
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
+    key = jax.random.PRNGKey(seed)
+
+    if regenerative:
+        from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+
+        on_tpu = jax.default_backend() == "tpu"
+        use_persistent = on_tpu and scene_supports_persistent(scene)
+        n_dev = mesh.devices.size
+        n = w * h
+        wavefront = int(
+            min(max(n, 1 << 16), max(target_rays_per_pass // n_dev, 1 << 16))
+        )
+        # Chunk the spp budget so each device's retirement-log slot count
+        # stays within its VMEM/HBM budget (same rule as render_image; the
+        # per-device share of a chunk is spp_chunk / n_dev).
+        max_slots = 40 if use_persistent else 64
+        cap = max(1, min(spp, (max_slots * wavefront * n_dev) // max(1, n)))
+        spp_chunk = next((k for k in range(cap, 0, -1) if spp % k == 0), cap)
+        acc = jnp.zeros((h, w, 3), jnp.float32)
+        done = 0
+        chunk_idx = 0
+        while done < spp:
+            step_spp = min(spp_chunk, spp - done)
+            acc = acc + render_regen_sharded(
+                scene,
+                cam,
+                jax.random.fold_in(key, chunk_idx),
+                mesh=mesh,
+                width=w,
+                height=h,
+                spp=step_spp,
+                wavefront_per_device=wavefront,
+                max_depth=settings.max_depth,
+                sky_gradient=settings.sky_gradient,
+                use_pallas=on_tpu,
+                use_megakernel=on_tpu and not use_persistent,
+                use_persistent=use_persistent,
+                rr_max_q=0.75 if use_persistent else 0.95,
+            )
+            done += step_spp
+            chunk_idx += 1
+        return acc / jnp.float32(spp)
+
     k = sharded_samples_per_pass(spp, w * h, mesh, target_rays_per_pass)
     if spp % k != 0:
         raise ValueError(f"spp={spp} not divisible by chosen k={k}")
     passes = spp // k
-    key = jax.random.PRNGKey(seed)
     acc = jnp.zeros((h, w, 3), jnp.float32)
     for p in range(passes):
         acc = acc + render_pass_sharded(

@@ -59,6 +59,103 @@ def test_sharded_render_deterministic():
     np.testing.assert_array_equal(a, b)
 
 
+def test_sharded_regen_exact_accounting_uneven_spp():
+    """Miss-only scene through the sharded FAST path: every sample retires
+    the background exactly once, so the framebuffer is exactly spp * bg even
+    when spp does not divide the device count (budget split must sum to spp,
+    no sample dropped or double-counted across devices)."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.parallel.shard import render_regen_sharded
+
+    b = SceneBuilder(0)
+    b.lambertian((0.5, 0.5, 0.5))  # non-empty tables
+    scene = b.build()
+    cam, settings = make_camera(
+        1.0, 16, samples_per_pixel=13, max_depth=6, background=(0.2, 0.4, 0.6),
+        look_from=(0, 0, 2), look_at=(0, 0, 0),
+    )
+    mesh = make_mesh(8, sample_parallel=2)
+    spp = 13  # 13 % 8 != 0: five devices get 2 samples, three get 1
+    fb, segs, iters_max, iters_sum = render_regen_sharded(
+        scene,
+        cam,
+        jax.random.PRNGKey(0),
+        mesh=mesh,
+        width=16,
+        height=16,
+        spp=spp,
+        wavefront_per_device=1024,
+        max_depth=6,
+        sky_gradient=False,
+        return_stats=True,
+    )
+    n_pix = 16 * 16
+    assert int(segs) == n_pix * spp  # every camera ray misses: 1 segment each
+    assert int(iters_max) <= int(iters_sum)
+    expect = np.tile(np.array([0.2, 0.4, 0.6], np.float32) * spp, (n_pix, 1))
+    np.testing.assert_allclose(
+        np.asarray(fb).reshape(n_pix, 3), expect, rtol=1e-5, atol=1e-4
+    )
+
+
+def test_sharded_regen_matches_single_device_stats():
+    """The sharded fast path (8 devices) and the single-device regen produce
+    statistically matching images on a real scene (same estimator)."""
+    from raytracer_tpu.render.driver import render_regen
+
+    scene, cam, settings = _tiny()
+    mesh = make_mesh(8, sample_parallel=4)
+    w, h = settings.width, settings.height
+    spp = 32
+    img_s = np.asarray(
+        render_image_sharded(
+            scene, cam, settings._replace(samples_per_pixel=spp), mesh, seed=0
+        )
+    )
+    img_1 = np.asarray(
+        render_regen(
+            scene,
+            cam,
+            jax.random.PRNGKey(0),
+            spp=spp,
+            width=w,
+            height=h,
+            wavefront_size=1 << 14,
+            max_depth=settings.max_depth,
+            sky_gradient=False,
+        )
+    )
+    assert np.isfinite(img_s).all()
+    assert np.abs(img_s - img_1).mean() < 0.05
+    np.testing.assert_allclose(img_s.mean(), img_1.mean(), rtol=0.04)
+
+
+def test_sharded_regen_load_balance_proxy():
+    """Per-device iteration counts are the scaling-efficiency proxy: with the
+    spp budget split evenly, max and mean per-device iters should be close
+    (here: within 2x — CPU mesh, tiny image, so the tail is relatively fat)."""
+    from raytracer_tpu.parallel.shard import render_regen_sharded
+
+    scene, cam, settings = _tiny()
+    mesh = make_mesh(8, sample_parallel=1)
+    fb, segs, iters_max, iters_sum = render_regen_sharded(
+        scene,
+        cam,
+        jax.random.PRNGKey(3),
+        mesh=mesh,
+        width=settings.width,
+        height=settings.height,
+        spp=64,
+        wavefront_per_device=1 << 12,
+        max_depth=settings.max_depth,
+        sky_gradient=False,
+        return_stats=True,
+    )
+    mean_iters = int(iters_sum) / 8
+    assert int(iters_max) < 2.0 * mean_iters, (int(iters_max), mean_iters)
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__
 
