@@ -60,11 +60,19 @@ def sky_color(direction):
 
 
 def _bounce_step(
-    scene: Scene, packed, background, sky_gradient: bool, state: WavefrontState
+    scene: Scene,
+    packed,
+    background,
+    sky_gradient: bool,
+    state: WavefrontState,
+    uniform_seq=None,
 ):
     """One wavefront bounce: intersect, accumulate emission/background,
     scatter, update masks. Mirrors one level of Ray.GetColor (ray.go:37-53).
-    `packed` is the loop-invariant primitive shading table."""
+    `packed` is the loop-invariant primitive shading table. `uniform_seq`
+    ((max_depth, N, UNIFORMS_PER_BOUNCE), optional) replaces the per-bounce
+    PRNG draw with injected uniforms — the hook the end-to-end GetColor
+    oracle test uses to compare against a scalar reference per ray."""
     key, sub = jax.random.split(state.key)
     hit = intersect_scene(scene, state.origin, state.direction)
 
@@ -79,9 +87,14 @@ def _bounce_step(
         miss[..., None], state.throughput * bg, 0.0
     )
 
-    uniforms = jax.random.uniform(
-        sub, (state.origin.shape[0], UNIFORMS_PER_BOUNCE), state.origin.dtype
-    )
+    if uniform_seq is None:
+        uniforms = jax.random.uniform(
+            sub, (state.origin.shape[0], UNIFORMS_PER_BOUNCE), state.origin.dtype
+        )
+    else:
+        uniforms = jax.lax.dynamic_index_in_dim(
+            uniform_seq, state.bounce, axis=0, keepdims=False
+        )
     scat = shade(scene, hit, state.direction, uniforms, packed=packed)
 
     # Emission adds on every hit (ray.go:41-46).
@@ -122,12 +135,16 @@ def trace(
     sky_gradient: bool = False,
     differentiable: bool = False,
     return_stats: bool = False,
+    uniform_seq=None,
 ):
     """Trace a batch of rays to completion; returns radiance (N, 3)
     (or (radiance, traced_segment_count) with return_stats=True).
 
     Depth exhaustion contributes black (ray.go:33-35): lanes still alive after
     `max_depth` bounces simply never add their tail.
+
+    `uniform_seq` ((max_depth, N, UNIFORMS_PER_BOUNCE), optional): injected
+    per-bounce shading uniforms instead of PRNG draws (oracle testing).
     """
     n = origin.shape[0]
     dtype = origin.dtype
@@ -143,7 +160,10 @@ def trace(
     )
     # Build the packed shading table once; it is loop-invariant.
     packed = primitive_shading_table(scene)
-    step = partial(_bounce_step, scene, packed, background, sky_gradient)
+    step = partial(
+        _bounce_step, scene, packed, background, sky_gradient,
+        uniform_seq=uniform_seq,
+    )
 
     if differentiable:
         # Fixed-depth scan; checkpoint each bounce so the backward pass
