@@ -238,6 +238,77 @@ def schedule_arrays(n: int, n_pixels: int, spp: int, width: int):
     return init_remaining.astype(jnp.int32), init_pixel % width, init_pixel // width
 
 
+def _regen_bounce_epilogue(
+    scene,
+    resolve_table,
+    background,
+    sky_gradient,
+    max_depth,
+    russian_roulette,
+    rr_start_depth,
+    rr_max_q,
+    slot_ids,
+    *,
+    t_hit,
+    prim,
+    origin,
+    direction,
+    uniforms,
+    rr_uniform,
+    active,
+    throughput,
+    radiance,
+    depth,
+    sample_k,
+    log,
+):
+    """Shared post-intersection epilogue of one regen-wavefront iteration:
+    resolve+shade, background/emission accumulation (ray.go:41-53), depth
+    budget (ray.go:33-35), russian roulette, and retirement into the dense
+    per-slot log. Both loop bodies (jnp/Pallas-intersect `body` and megakernel
+    `body_mk`) MUST run this exact code so they realize the same estimator;
+    only the front half (regen + intersection + uniform source) differs.
+
+    Returns (origin, direction, throughput, radiance, survives, depth, log).
+    """
+    from raytracer_tpu.materials.materials import resolve_and_shade
+
+    scat = resolve_and_shade(
+        scene, resolve_table, t_hit, prim, origin, direction, uniforms
+    )
+    if sky_gradient:
+        bg = sky_color(direction)
+    else:
+        bg = jnp.broadcast_to(background, direction.shape)
+    miss = active & ~scat.hit
+    radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
+    live_hit = active & scat.hit
+    radiance = radiance + jnp.where(
+        live_hit[:, None], throughput * scat.emitted, 0.0
+    )
+    survives = live_hit & scat.scattered
+    depth = depth + active.astype(jnp.int32)
+    survives = survives & (depth < max_depth)  # depth budget (ray.go:33-35)
+    throughput = jnp.where(
+        survives[:, None], throughput * scat.attenuation, throughput
+    )
+    if russian_roulette:
+        q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, rr_max_q)
+        rr_on = survives & (depth >= rr_start_depth)
+        survives = survives & (~rr_on | (rr_uniform < q))
+        throughput = jnp.where(
+            (rr_on & survives)[:, None], throughput / q[:, None], throughput
+        )
+    origin = jnp.where(survives[:, None], scat.point, origin)
+    direction = jnp.where(survives[:, None], scat.direction, direction)
+
+    # ---- retire finished paths into the dense per-slot log ----
+    finished = active & ~survives
+    slot_mask = (slot_ids == sample_k[None, :]) & finished[None, :]  # (K, N)
+    log = log + slot_mask[None, :, :] * radiance.T[:, None, :]
+    return origin, direction, throughput, radiance, survives, depth, log
+
+
 def render_wavefront_regen(
     scene: Scene,
     frame,
@@ -360,7 +431,6 @@ def regen_core(
     from raytracer_tpu.core.camera import camera_rays  # local: avoid cycle
 
     from raytracer_tpu.geometry.intersect import closest_hit_t_prim, quad_derived
-    from raytracer_tpu.materials.materials import resolve_and_shade
     from raytracer_tpu.materials.packed import primitive_resolve_table
     from raytracer_tpu.ops import intersect_kernel as ik
 
@@ -385,6 +455,18 @@ def regen_core(
     jump_px = jump % width
     jump_py = jump // width
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (num_slots, 1), 0)  # (K,1)
+    epilogue = partial(
+        _regen_bounce_epilogue,
+        scene,
+        resolve_table,
+        background,
+        sky_gradient,
+        max_depth,
+        russian_roulette,
+        rr_start_depth,
+        rr_max_q,
+        slot_ids,
+    )
 
     if use_persistent:
         # Whole-loop-in-kernel path: state stays in VMEM, tiles drain
@@ -456,39 +538,22 @@ def regen_core(
             active = s.active | grant
 
             uniforms = out["uniforms"]
-            scat = resolve_and_shade(
-                scene, resolve_table, out["t"], out["prim"], origin, direction,
-                uniforms,
-            )
-            if sky_gradient:
-                bg = sky_color(direction)
-            else:
-                bg = jnp.broadcast_to(background, direction.shape)
-            miss = active & ~scat.hit
-            radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
-            live_hit = active & scat.hit
-            radiance = radiance + jnp.where(
-                live_hit[:, None], throughput * scat.emitted, 0.0
-            )
-            survives = live_hit & scat.scattered
-            depth = depth + active.astype(jnp.int32)
-            survives = survives & (depth < max_depth)
-            throughput = jnp.where(
-                survives[:, None], throughput * scat.attenuation, throughput
-            )
-            if russian_roulette:
-                q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, rr_max_q)
-                rr_on = survives & (depth >= rr_start_depth)
-                survives = survives & (~rr_on | (uniforms[:, 3] < q))
-                throughput = jnp.where(
-                    (rr_on & survives)[:, None], throughput / q[:, None], throughput
+            origin, direction, throughput, radiance, survives, depth, log = (
+                epilogue(
+                    t_hit=out["t"],
+                    prim=out["prim"],
+                    origin=origin,
+                    direction=direction,
+                    uniforms=uniforms,
+                    rr_uniform=uniforms[:, 3],
+                    active=active,
+                    throughput=throughput,
+                    radiance=radiance,
+                    depth=depth,
+                    sample_k=out["sample_k"],
+                    log=s.log,
                 )
-            origin = jnp.where(survives[:, None], scat.point, origin)
-            direction = jnp.where(survives[:, None], scat.direction, direction)
-
-            finished = active & ~survives
-            slot_mask = (slot_ids == out["sample_k"][None, :]) & finished[None, :]
-            log = s.log + slot_mask[None, :, :] * radiance.T[:, None, :]
+            )
             return RegenState(
                 origin=origin,
                 direction=direction,
@@ -538,40 +603,21 @@ def regen_core(
         # ---- one bounce (identical math to _bounce_step, fused path) ----
         t_hit, prim = intersect(origin, direction)
         uniforms = jax.random.uniform(k_bounce, (n, UNIFORMS_PER_BOUNCE), dtype)
-        scat = resolve_and_shade(
-            scene, resolve_table, t_hit, prim, origin, direction, uniforms
+        rr_uni = jax.random.uniform(k_rr, (n,), dtype)
+        origin, direction, throughput, radiance, survives, depth, log = epilogue(
+            t_hit=t_hit,
+            prim=prim,
+            origin=origin,
+            direction=direction,
+            uniforms=uniforms,
+            rr_uniform=rr_uni,
+            active=active,
+            throughput=throughput,
+            radiance=radiance,
+            depth=depth,
+            sample_k=sample_k,
+            log=s.log,
         )
-        if sky_gradient:
-            bg = sky_color(direction)
-        else:
-            bg = jnp.broadcast_to(background, direction.shape)
-        miss = active & ~scat.hit
-        radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
-        live_hit = active & scat.hit
-        radiance = radiance + jnp.where(
-            live_hit[:, None], throughput * scat.emitted, 0.0
-        )
-        survives = live_hit & scat.scattered
-        depth = depth + active.astype(jnp.int32)
-        survives = survives & (depth < max_depth)  # depth budget (ray.go:33-35)
-        throughput = jnp.where(
-            survives[:, None], throughput * scat.attenuation, throughput
-        )
-        if russian_roulette:
-            q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, rr_max_q)
-            rr_uni = jax.random.uniform(k_rr, (n,), dtype)
-            rr_on = survives & (depth >= rr_start_depth)
-            survives = survives & (~rr_on | (rr_uni < q))
-            throughput = jnp.where(
-                (rr_on & survives)[:, None], throughput / q[:, None], throughput
-            )
-        origin = jnp.where(survives[:, None], scat.point, origin)
-        direction = jnp.where(survives[:, None], scat.direction, direction)
-
-        # ---- retire finished paths into the dense per-slot log ----
-        finished = active & ~survives
-        slot_mask = (slot_ids == sample_k[None, :]) & finished[None, :]  # (K, N)
-        log = s.log + slot_mask[None, :, :] * radiance.T[:, None, :]
         return RegenState(
             origin=origin,
             direction=direction,
