@@ -39,6 +39,13 @@ def main(argv=None) -> None:
     ap.add_argument("--max-depth", type=int, default=None)
     ap.add_argument("--profile", action="store_true", help="jax.profiler trace to out/trace")
     ap.add_argument(
+        "--memory-profile",
+        default=None,
+        metavar="PATH",
+        help="write a pprof device-memory profile after the render "
+        "(heap-profile analog of the reference's main.go:70-73)",
+    )
+    ap.add_argument(
         "--checkpoint",
         default=None,
         help="checkpoint file; resumes from it if present (fail-stop + rerun)",
@@ -55,8 +62,17 @@ def main(argv=None) -> None:
 
     scene, cam, settings = get_scene(args.scene, args.seed, **overrides)
 
-    from raytracer_tpu.utils.metrics import profiler_trace
+    from raytracer_tpu.utils.metrics import (
+        RenderMetrics,
+        device_memory_stats,
+        profiler_trace,
+        save_memory_profile,
+    )
 
+    metrics = RenderMetrics(
+        total_spp=settings.samples_per_pixel,
+        pixels=settings.width * settings.height,
+    )
     t0 = time.perf_counter()
     with profiler_trace("out/trace" if args.profile else None):
         if args.checkpoint:
@@ -76,7 +92,9 @@ def main(argv=None) -> None:
             )
             img = np.asarray(_jax.device_get(to_u8(linear)))
         else:
-            img = render_scene(scene, cam, settings, seed=args.seed, progress=True)
+            img = render_scene(
+                scene, cam, settings, seed=args.seed, progress=True, metrics=metrics
+            )
     dt = time.perf_counter() - t0
 
     if args.out.endswith(".ppm"):
@@ -84,19 +102,25 @@ def main(argv=None) -> None:
     else:
         write_png(args.out, img)
 
+    if args.memory_profile:
+        if not save_memory_profile(args.memory_profile):
+            print("memory profile unavailable on this backend", flush=True)
+
     camera_rays = settings.width * settings.height * settings.samples_per_pixel
-    print(
-        json.dumps(
-            {
-                "scene": args.scene,
-                "size": [settings.width, settings.height],
-                "spp": settings.samples_per_pixel,
-                "wall_s": round(dt, 3),
-                "camera_mrays_per_s": round(camera_rays / dt / 1e6, 3),
-                "out": args.out,
-            }
-        )
-    )
+    report = {
+        "scene": args.scene,
+        "size": [settings.width, settings.height],
+        "spp": settings.samples_per_pixel,
+        "wall_s": round(dt, 3),
+        "camera_mrays_per_s": round(camera_rays / dt / 1e6, 3),
+        "out": args.out,
+    }
+    snap = metrics.snapshot()
+    for k in ("traced_mrays_per_s", "wavefront_iters", "occupancy", "retirement_log_mb"):
+        if k in snap:
+            report[k] = snap[k]
+    report.update(device_memory_stats())
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

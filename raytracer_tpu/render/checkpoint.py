@@ -124,39 +124,60 @@ def render_with_checkpoints(
 
     key = jax.random.PRNGKey(seed)
     chunks_run = 0
-    while done < spp:
-        if max_chunks is not None and chunks_run >= max_chunks:
-            break
-        step_spp = min(spp_per_chunk, spp - done)
-        out = render_regen(
-            scene,
-            cam,
-            jax.random.fold_in(key, chunk_idx),
-            width=w,
-            height=h,
-            spp=step_spp,
-            wavefront_size=wavefront,
-            max_depth=settings.max_depth,
-            sky_gradient=settings.sky_gradient,
-            use_pallas=jax.default_backend() == "tpu",
-            use_megakernel=jax.default_backend() == "tpu",
-        )
-        acc = acc + out * jnp.float32(step_spp)
-        done += step_spp
-        chunk_idx += 1
-        chunks_run += 1
-        if checkpoint_path:
-            save_checkpoint(
-                checkpoint_path,
-                RenderCheckpoint(
-                    acc=np.asarray(acc),
-                    done_spp=done,
-                    seed=seed,
-                    chunk_idx=chunk_idx,
-                    config_hash=fingerprint,
-                ),
+    # Compute/IO overlap (reference analog: camera.go:224-252 pipelines
+    # rendering with ordered chunk writing): checkpoint writes — a
+    # device->host fetch + npz save — run on a single background worker
+    # thread, so neither the fetch DMA nor the host encode ever blocks the
+    # dispatch loop. One worker keeps saves ordered; fail-stop mid-chunk
+    # loses at most the last chunk's save, which resume re-renders.
+    saver = None
+    save_futures: list = []
+    if checkpoint_path:
+        import concurrent.futures
+
+        saver = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        while done < spp:
+            if max_chunks is not None and chunks_run >= max_chunks:
+                break
+            step_spp = min(spp_per_chunk, spp - done)
+            out = render_regen(
+                scene,
+                cam,
+                jax.random.fold_in(key, chunk_idx),
+                width=w,
+                height=h,
+                spp=step_spp,
+                wavefront_size=wavefront,
+                max_depth=settings.max_depth,
+                sky_gradient=settings.sky_gradient,
+                use_pallas=jax.default_backend() == "tpu",
+                use_megakernel=jax.default_backend() == "tpu",
             )
-        if progress:
-            print(f"spp {done}/{spp}", flush=True)
+            acc = acc + out * jnp.float32(step_spp)
+            done += step_spp
+            chunk_idx += 1
+            chunks_run += 1
+            if saver is not None:
+                save_futures.append(
+                    saver.submit(
+                        save_checkpoint,
+                        checkpoint_path,
+                        RenderCheckpoint(
+                            acc=acc,
+                            done_spp=done,
+                            seed=seed,
+                            chunk_idx=chunk_idx,
+                            config_hash=fingerprint,
+                        ),
+                    )
+                )
+            if progress:
+                print(f"spp {done}/{spp}", flush=True)
+    finally:
+        if saver is not None:
+            saver.shutdown(wait=True)
+    for f in save_futures:
+        f.result()  # surface any save error
 
     return acc / jnp.float32(max(done, 1))

@@ -163,6 +163,7 @@ def render_image(
     target_rays_per_pass: int = DEFAULT_TARGET_RAYS_PER_PASS,
     progress: bool = False,
     regenerative: bool = True,
+    metrics=None,
 ) -> jnp.ndarray:
     """Render the full image; returns linear mean radiance (H, W, 3) f32.
 
@@ -172,6 +173,11 @@ def render_image(
     regenerative=True (default) uses the path-regeneration wavefront (fast);
     False uses the simple pass loop (reference implementation, also the
     shape the differentiable path uses).
+
+    metrics: optional utils.metrics.RenderMetrics — receives per-chunk spp
+    progress immediately (no device sync) and traced-segment / iteration
+    totals after the last chunk (one sync at the end; SURVEY.md §5
+    observability).
     """
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
     n = w * h
@@ -201,12 +207,25 @@ def render_image(
         # ONE compiled executable (a second chunk size costs a ~minute-scale
         # remote compile on this tunnel).
         spp_chunk = next((k for k in range(cap, 0, -1) if spp % k == 0), cap)
+        if metrics is not None:
+            from raytracer_tpu.integrator.wavefront import strided_schedule
+            from raytracer_tpu.ops.persistent_kernel import DEFAULT_ROWS, LANES
+
+            n_lanes, num_slots, _ = strided_schedule(n, spp_chunk, wavefront)
+            # Occupancy basis: the persistent kernel counts iterations per
+            # (rows x 128)-lane tile (tiles drain independently); the
+            # XLA-loop paths count whole-wavefront iterations.
+            metrics.wavefront_lanes = (
+                DEFAULT_ROWS * LANES if use_persistent else wavefront
+            )
+            metrics.retirement_log_mb = 3 * num_slots * n_lanes * 4 / 2**20
         acc = jnp.zeros((h, w, 3), jnp.float32)
         done = 0
         chunk_idx = 0
+        chunk_stats = []  # device scalars; synced once after the last chunk
         while done < spp:
             step_spp = min(spp_chunk, spp - done)
-            acc = acc + render_regen(
+            out = render_regen(
                 scene,
                 cam,
                 jax.random.fold_in(key, chunk_idx),
@@ -225,11 +244,26 @@ def render_image(
                 # lifts measured occupancy 0.43 -> 0.60 (105 vs 78 Mrays/s
                 # at 64 spp) while staying unbiased (RR throughput boost).
                 rr_max_q=0.75 if use_persistent else 0.95,
-            ) * jnp.float32(step_spp)
+                return_stats=metrics is not None,
+            )
+            if metrics is not None:
+                fb, segments, iters = out
+                chunk_stats.append((segments, iters))
+            else:
+                fb = out
+            acc = acc + fb * jnp.float32(step_spp)
             done += step_spp
             chunk_idx += 1
+            if metrics is not None:
+                metrics.update(done)
             if progress:
                 print(f"spp {done}/{spp}", flush=True)
+        if metrics is not None and chunk_stats:
+            metrics.update(
+                done,
+                segments=sum(int(s) for s, _ in chunk_stats),
+                iters=sum(int(i) for _, i in chunk_stats),
+            )
         return acc / jnp.float32(spp)
 
     k = samples_per_pass_for(spp, n, target_rays_per_pass)
@@ -246,6 +280,8 @@ def render_image(
             max_depth=settings.max_depth,
             sky_gradient=settings.sky_gradient,
         )
+        if metrics is not None:
+            metrics.update((p + 1) * k)
         if progress:
             print(f"pass {p + 1}/{passes} ({(p + 1) * k}/{spp} spp)", flush=True)
     return acc / jnp.float32(spp)

@@ -63,3 +63,37 @@ def test_render_scene_shape_dtype():
     img = render_scene(scene, cam, settings)
     assert img.shape == (settings.height, settings.width, 3)
     assert img.dtype == np.uint8
+
+
+def test_render_metrics_wired():
+    """The driver feeds RenderMetrics: spp progress, traced segments,
+    iterations, and occupancy (SURVEY.md §5 observability; the reference's
+    only analog is a per-scanline Printf, camera.go:203)."""
+    from raytracer_tpu.utils.metrics import RenderMetrics
+
+    scene, cam, settings = _tiny_scene()
+    m = RenderMetrics(
+        total_spp=settings.samples_per_pixel,
+        pixels=settings.width * settings.height,
+    )
+    render_image(scene, cam, settings, seed=1, metrics=m)
+    assert m.done_spp == settings.samples_per_pixel
+    assert m.traced_segments > 0
+    assert m.wavefront_iters > 0
+    assert m.wavefront_lanes > 0
+    snap = m.snapshot()
+    assert 0.0 < snap["occupancy"] <= 1.0
+    assert snap["traced_mrays_per_s"] > 0
+    # Metrics must not change the image (same compiled estimator).
+    plain = render_image(scene, cam, settings, seed=1)
+    with_m = render_image(scene, cam, settings, seed=1, metrics=RenderMetrics(1, 1))
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(with_m))
+
+
+def test_device_memory_stats_shape():
+    from raytracer_tpu.utils.metrics import device_memory_stats
+
+    stats = device_memory_stats()  # CPU backend may return {}
+    assert isinstance(stats, dict)
+    for v in stats.values():
+        assert v >= 0
