@@ -61,9 +61,18 @@ def _culled_kernel(
     d_dot_o = dx * ox + dy * oy + dz * oz
     o_sq = ox * ox + oy * oy + oz * oz
     tmin_a = T_MIN * a
-    inv_dx = 1.0 / dx
-    inv_dy = 1.0 / dy
-    inv_dz = 1.0 / dz
+    # Slab-test inverses: a ray with an exactly-zero direction component whose
+    # origin lies ON the box plane would produce 0*inf = NaN; NaN comparisons
+    # are all-false, dropping the ray from any_hit and potentially FALSELY
+    # culling a cluster it hits. Nudge zero components to a sign-preserving
+    # tiny so inf never appears and the cull stays conservative.
+    _SLAB_TINY = 1e-30
+    safe_dx = jnp.where(jnp.abs(dx) < _SLAB_TINY, jnp.where(dx < 0, -_SLAB_TINY, _SLAB_TINY), dx)
+    safe_dy = jnp.where(jnp.abs(dy) < _SLAB_TINY, jnp.where(dy < 0, -_SLAB_TINY, _SLAB_TINY), dy)
+    safe_dz = jnp.where(jnp.abs(dz) < _SLAB_TINY, jnp.where(dz < 0, -_SLAB_TINY, _SLAB_TINY), dz)
+    inv_dx = 1.0 / safe_dx
+    inv_dy = 1.0 / safe_dy
+    inv_dz = 1.0 / safe_dz
 
     t_best = jnp.full(ox.shape, INF)
     prim_best = jnp.full(ox.shape, -1, jnp.int32)

@@ -52,6 +52,47 @@ def test_culled_matches_dense(rng, monkeypatch):
     assert agree > 0.99
 
 
+def test_axis_aligned_ray_on_cluster_plane_not_culled(monkeypatch):
+    """Zero direction component + origin exactly on the cluster AABB plane.
+
+    The slab test computes (bmin - o) * (1/d); with d==0 that is 0*inf = NaN,
+    NaN comparisons are all-false, and before the fix a tile of such rays
+    could falsely cull a cluster they hit (ADVICE round-1 finding)."""
+    import jax.experimental.pallas as pl
+
+    b = SceneBuilder(0)
+    m = b.lambertian((0.5, 0.5, 0.5))
+    # A few spheres so clustering produces >=1 real cluster; the target
+    # sphere spans x in [-1, 1], so its cluster AABB has bmin_x == -1.
+    b.add_sphere((0.0, 0.0, -5.0), 1.0, m)
+    b.add_sphere((3.0, 0.0, -5.0), 0.5, m)
+    b.add_sphere((-3.0, 0.0, -5.0), 0.5, m)
+    scene = b.build()
+    cl, order, sph_cl, orig = ck.build_clusters(scene, max_leaf=2)
+    qt = ik.pack_quad_table(quad_derived(scene))
+
+    # Whole tile is the SAME degenerate ray: dx = dy = 0 exactly, origin x
+    # exactly on the cluster plane bmin_x (the padded AABB min is close to
+    # -1; use the actual packed value so (bmin_x - ox) == 0 bit-exactly).
+    bmin_x = float(np.asarray(cl).reshape(-1, 8)[:, 0].min())
+    n = 1 * 128
+    o = jnp.tile(jnp.asarray([[bmin_x, 0.0, 0.0]], jnp.float32), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n, 1))
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **k: orig_call(*a, **{**k, "interpret": True})
+    )
+    t_c, p_c = ck.intersect_pallas_culled(
+        cl, order, sph_cl, orig, qt, scene.num_spheres, o, d, rows=1
+    )
+    ref = intersect_scene(scene, o, d)
+    hit_r = np.asarray(ref.hit)
+    assert hit_r.all()  # the ray does hit the big sphere
+    assert np.isfinite(np.asarray(t_c)).all()  # ...and the kernel agrees
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(ref.t), rtol=2e-4)
+
+
 def test_sort_rays_groups_by_key(rng):
     n = 1024
     o = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
