@@ -30,7 +30,14 @@ def perlin_noise(scene: Scene, p):
     indexing, dot products with corner offsets, trilinear blend of
     smoothstep-faded weights.
 
-    Vectorized as 8 gathers over the (256, 3) gradient table.
+    Two evaluation strategies, bit-identical results:
+    * scene.perlin_procedural (the production default): table entries are
+      RECOMPUTED per lane with integer hashes (materials/perlin_hash.py) —
+      zero gathers. XLA's lowering of tiny-table gathers is ~3.5 ms per
+      (512K,) gather on TPU, which made noise scenes ~200x slower than
+      solid-color ones (docs/PERF_NOTES.md round 2).
+    * otherwise: 8 gathers over the (256, 3) gradient table (works for any
+      table contents, e.g. the reference's rand-filled ones).
     """
     pf = jnp.floor(p)
     t = p - pf  # (N, 3) fractional offsets
@@ -38,17 +45,33 @@ def perlin_noise(scene: Scene, p):
     i0 = pi & 255  # (N, 3)
     i1 = (i0 + 1) & 255
 
-    px = (scene.perlin_px[i0[:, 0]], scene.perlin_px[i1[:, 0]])
-    py = (scene.perlin_py[i0[:, 1]], scene.perlin_py[i1[:, 1]])
-    pz = (scene.perlin_pz[i0[:, 2]], scene.perlin_pz[i1[:, 2]])
+    if scene.perlin_procedural:
+        from raytracer_tpu.materials import perlin_hash as ph
+
+        u0 = i0.astype(jnp.uint32)
+        u1 = i1.astype(jnp.uint32)
+        px = (ph.perm_u8(0, u0[:, 0]), ph.perm_u8(0, u1[:, 0]))
+        py = (ph.perm_u8(1, u0[:, 1]), ph.perm_u8(1, u1[:, 1]))
+        pz = (ph.perm_u8(2, u0[:, 2]), ph.perm_u8(2, u1[:, 2]))
+
+        def gradient(h):  # (N,) uint32 -> (gx, gy, gz) f32, no memory access
+            return tuple(ph.grad_component(k, h) for k in range(3))
+
+    else:
+        px = (scene.perlin_px[i0[:, 0]], scene.perlin_px[i1[:, 0]])
+        py = (scene.perlin_py[i0[:, 1]], scene.perlin_py[i1[:, 1]])
+        pz = (scene.perlin_pz[i0[:, 2]], scene.perlin_pz[i1[:, 2]])
+
+        def gradient(h):
+            g = scene.perlin_vec[h]  # (N, 3)
+            return g[:, 0], g[:, 1], g[:, 2]
 
     tx, ty, tz = t[:, 0], t[:, 1], t[:, 2]
     fx, fy, fz = _smoothstep(tx), _smoothstep(ty), _smoothstep(tz)
 
     def corner(ix, iy, iz):
-        g = scene.perlin_vec[px[ix] ^ py[iy] ^ pz[iz]]  # (N, 3)
-        off = jnp.stack([tx - ix, ty - iy, tz - iz], axis=-1)
-        return jnp.sum(g * off, axis=-1)
+        gx, gy, gz = gradient(px[ix] ^ py[iy] ^ pz[iz])
+        return gx * (tx - ix) + gy * (ty - iy) + gz * (tz - iz)
 
     # Trilinear blend (math.go:84-92 TriLinearLerp with smoothstep weights).
     c00 = c_lerp(fx, corner(0, 0, 0), corner(1, 0, 0))

@@ -116,6 +116,48 @@ def test_perlin_turb_matches_oracle(rng):
         np.testing.assert_allclose(g, want, rtol=1e-2, atol=1e-3)
 
 
+def test_perlin_procedural_matches_gather_bitexact(rng):
+    """The hash-recomputed (gather-free) noise path must equal the
+    table-gather path BIT-EXACTLY: the tables are built by the same hash
+    functions (materials/perlin_hash.py), so the only difference is
+    lookup-vs-recompute. This also pins NumPy/XLA integer-hash agreement."""
+    b = SceneBuilder(5)
+    t = b.noise(4)
+    b.lambertian(t)
+    scene = b.build()  # procedural_perlin=True default
+    assert scene.perlin_procedural
+    scene_gather = scene.replace(perlin_procedural=False)
+    pts = jnp.asarray(rng.uniform(-30, 30, (4096, 3)).astype(np.float32))
+    got_fast = np.asarray(perlin_noise(scene, pts))
+    got_table = np.asarray(perlin_noise(scene_gather, pts))
+    np.testing.assert_array_equal(got_fast, got_table)
+    turb_fast = np.asarray(perlin_turbulence(scene, pts))
+    turb_table = np.asarray(perlin_turbulence(scene_gather, pts))
+    np.testing.assert_array_equal(turb_fast, turb_table)
+
+
+def test_perlin_hash_tables_well_distributed():
+    """Hash-built tables keep the reference construction's invariants
+    (materials.go:202-216): each axis table is a true permutation of 0..255,
+    gradient components lie in [-1,1) and are not degenerate."""
+    from raytracer_tpu.materials.perlin_hash import build_tables
+
+    vec, px, py, pz = build_tables()
+    for perm in (px, py, pz):
+        assert sorted(perm.tolist()) == list(range(256))
+    assert not np.array_equal(px, py) and not np.array_equal(py, pz)
+    assert (vec >= -1).all() and (vec < 1).all()
+    assert abs(vec.mean()) < 0.1
+    assert vec.std() > 0.4  # ~uniform[-1,1) std is 0.577
+    # XOR-combined index actually spreads over the whole table.
+    ids = set()
+    for x in range(16):
+        for y in range(16):
+            for z in range(4):
+                ids.add(int(px[x] ^ py[y] ^ pz[z]))
+    assert len(ids) > 200
+
+
 def test_marble_value_range(rng):
     """NoiseTexture value = 0.5*(1+sin(...)) in [0,1] (materials.go:285-288)."""
     b = SceneBuilder(0)
