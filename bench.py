@@ -112,6 +112,16 @@ def main() -> None:
         detail["low_spp"] = _measure(
             scene, cam, settings, spp=64, wavefront=1 << 19, repeats=repeats
         )
+    # Texture-heavy scenes (VERDICT round-1 weak #7): perlin marble and the
+    # emissive simple_light, both on the persistent kernel via the
+    # hash-procedural noise (materials/perlin_hash.py). Reference workloads
+    # are 100/500 spp (main.go:106-192); 500 here for a stable timing window.
+    if os.environ.get("RT_BENCH_SCENES", "1") == "1":
+        for extra in ("perlin", "simple_light"):
+            sc, cm, st = get_scene(extra, width=width, spp=500)
+            detail[extra] = _measure(
+                sc, cm, st, spp=500, wavefront=1 << 20, repeats=repeats
+            )
 
     print(
         json.dumps(

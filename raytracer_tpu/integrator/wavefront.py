@@ -497,6 +497,7 @@ def regen_core(
             rr_start=rr_start_depth if russian_roulette else max_depth,
             rr_hi=rr_max_q,
             sky_gradient=sky_gradient,
+            has_noise=scene.has_noise,
             **({"rows": persistent_rows} if persistent_rows else {}),
         )
         return _fold_log(log, num_slots, n, n_pixels, segments, iters, return_stats)

@@ -24,9 +24,10 @@ table in ceil(P/128) gathers per value — a few hundred vector ops per bounce
 versus the ~7000 serial SMEM scalar reads of a fused in-loop resolve
 (measured 12x slower) or the ~1.3 ms/iter XLA row gather of round 1.
 
-Supported in-kernel texture kinds: SOLID and CHECKER (all six reference
-scenes except earth/perlin); scenes with image or noise textures fall back
-to the round-1 front-half megakernel path.
+Supported in-kernel texture kinds: SOLID, CHECKER, and NOISE (the marble
+Perlin texture, recomputed per lane from the procedural hash tables —
+materials/perlin_hash.py); only image-texture scenes (earth) fall back to
+the round-1 front-half megakernel path.
 
 Estimator semantics are identical to integrator.wavefront.render_wavefront_
 regen (same camera math, same strided per-lane sample queues, same
@@ -50,7 +51,9 @@ from raytracer_tpu.geometry.scene import (
     LAMBERTIAN,
     METAL,
     TEX_CHECKER,
+    TEX_NOISE,
 )
+from raytracer_tpu.materials import perlin_hash as _ph
 
 LANES = 128
 DEFAULT_ROWS = 64  # best measured on v5e (76 vs 73 Mrays/s at 128 rows)
@@ -95,6 +98,85 @@ def _uniform(shape):
     return (bits & 0x7FFFFF).astype(jnp.float32) * (1.0 / 8388608.0)
 
 
+# ---- in-kernel Perlin marble (materials.go:222-295) ------------------------
+#
+# Signed-int32 re-expression of materials/perlin_hash.py (Mosaic has no
+# uint32 vectors): wrapping multiplies match uint32 low bits in two's
+# complement, and each logical right shift is an arithmetic shift + mask.
+# tests/test_persistent_kernel.py pins bit-equality against the uint32 path.
+
+def _i32c(v: int) -> int:
+    """Python uint32 constant -> equivalent signed int32 two's complement."""
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _perm_i32(axis: int, x):
+    """perlin_hash.perm_u8 on int32 lattice coords already masked to [0,256)."""
+    m1, m2 = _ph._AXIS_MUL1[axis], _ph._AXIS_MUL2[axis]
+    h = (x * m1 + _ph._AXIS_ADD[axis]) & 255
+    h = h ^ (h >> 4)  # h < 256: arithmetic == logical shift
+    h = (h * m2) & 255
+    h = h ^ (h >> 4)
+    return h
+
+
+def _grad_i32(k: int, h):
+    """perlin_hash.grad_component on int32 h in [0,256) -> f32 in [-1,1)."""
+    u = (h + _i32c(((k + 1) * 0x9E3779B9) & 0xFFFFFFFF)) ^ _i32c(_ph._GRAD_SEED[k])
+    u = (u ^ 61) ^ ((u >> 16) & 0xFFFF)
+    u = u * 9
+    u = u ^ ((u >> 4) & 0x0FFFFFFF)
+    u = u * _i32c(0x27D4EB2D)
+    u = u ^ ((u >> 15) & 0x1FFFF)
+    return (u & 0xFFFFFF).astype(jnp.float32) * jnp.float32(2.0 ** -23) - 1.0
+
+
+def _perlin_i32(x, y, z):
+    """Gradient noise at (x, y, z) f32 arrays — textures.perlin_noise with the
+    procedural tables, element-shape-preserving, zero memory accesses."""
+    fx_, fy_, fz_ = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    tx, ty, tz = x - fx_, y - fy_, z - fz_
+    ix0 = fx_.astype(jnp.int32) & 255
+    iy0 = fy_.astype(jnp.int32) & 255
+    iz0 = fz_.astype(jnp.int32) & 255
+    hx = (_perm_i32(0, ix0), _perm_i32(0, (ix0 + 1) & 255))
+    hy = (_perm_i32(1, iy0), _perm_i32(1, (iy0 + 1) & 255))
+    hz = (_perm_i32(2, iz0), _perm_i32(2, (iz0 + 1) & 255))
+    fx = tx * tx * (3.0 - 2.0 * tx)
+    fy = ty * ty * (3.0 - 2.0 * ty)
+    fz = tz * tz * (3.0 - 2.0 * tz)
+
+    def corner(cx, cy, cz):
+        h = hx[cx] ^ hy[cy] ^ hz[cz]
+        return (
+            _grad_i32(0, h) * (tx - cx)
+            + _grad_i32(1, h) * (ty - cy)
+            + _grad_i32(2, h) * (tz - cz)
+        )
+
+    def lerp(t, a, b):
+        return a * (1.0 - t) + b * t
+
+    c00 = lerp(fx, corner(0, 0, 0), corner(1, 0, 0))
+    c10 = lerp(fx, corner(0, 1, 0), corner(1, 1, 0))
+    c01 = lerp(fx, corner(0, 0, 1), corner(1, 0, 1))
+    c11 = lerp(fx, corner(0, 1, 1), corner(1, 1, 1))
+    return lerp(fz, lerp(fy, c00, c10), lerp(fy, c01, c11))
+
+
+def _marble_i32(x, y, z, depth: int = 7):
+    """NoiseTexture marble value (materials.go:285-288):
+    0.5 * (1 + sin(z + 10 * turb(p, 7)))."""
+    total = jnp.zeros_like(x)
+    weight = 1.0
+    ox_, oy_, oz_ = x, y, z
+    for _ in range(depth):
+        total = total + weight * _perlin_i32(ox_, oy_, oz_)
+        weight *= 0.5
+        ox_, oy_, oz_ = ox_ * 2.0, oy_ * 2.0, oz_ * 2.0
+    return 0.5 * (1.0 + jnp.sin(z + 10.0 * jnp.abs(total)))
+
+
 def _persistent_kernel(
     # scalar prefetch
     sph_ref, quad_ref, cam_ref, seed_ref,
@@ -124,6 +206,7 @@ def _persistent_kernel(
     rr_lo: float,
     rr_hi: float,
     sky_gradient: bool,
+    has_noise: bool,
     max_iters: int,
     ablate: str = "",
 ):
@@ -350,7 +433,8 @@ def _persistent_kernel(
         ny_ = ony * fsign
         nz_ = onz * fsign
 
-        # ---- texture color (solid / 3D checker, materials.go:127-163) ----
+        # ---- texture color (solid / 3D checker / marble noise,
+        # materials.go:127-163, 264-295) ----
         is_checker = its > 0.0
         cpar = (
             jnp.floor(ptx * its).astype(jnp.int32)
@@ -361,6 +445,15 @@ def _persistent_kernel(
         texr = jnp.where(use_c1, c1x, c0x)
         texg = jnp.where(use_c1, c1y, c0y)
         texb = jnp.where(use_c1, c1z, c0z)
+        if has_noise:
+            # Noise textures pack its = -scale (checker packs +1/scale, solid
+            # packs 0); the hash-procedural marble needs no table memory.
+            is_noise = its < 0.0
+            nsc = -its
+            mval = _marble_i32(ptx * nsc, pty * nsc, ptz * nsc)
+            texr = jnp.where(is_noise, mval, texr)
+            texg = jnp.where(is_noise, mval, texg)
+            texb = jnp.where(is_noise, mval, texb)
 
         # ---- miss -> background / sky (ray.go:53) ----
         if sky_gradient:
@@ -578,8 +671,14 @@ def pack_persistent_tables(scene, qd):
         c0 = jnp.where(is_metal[:, None], scene.mat_albedo[mat_id], scene.tex_c0[tex])
         c1 = scene.tex_c1[tex]
         is_checker = jnp.logical_and(ttype == TEX_CHECKER, ~is_metal)
+        is_noise = jnp.logical_and(ttype == TEX_NOISE, ~is_metal)
         scale = scene.tex_scale[tex]
-        its = jnp.where(is_checker, 1.0 / jnp.where(scale != 0.0, scale, 1.0), 0.0)
+        # its encodes the texture kind: +1/scale checker, -scale noise, 0 solid.
+        its = jnp.where(
+            is_checker,
+            1.0 / jnp.where(scale != 0.0, scale, 1.0),
+            jnp.where(is_noise, -scale, 0.0),
+        )
         prm = jnp.where(is_metal, scene.mat_fuzz[mat_id], scene.mat_ior[mat_id])
         return mtype, prm, c0, c1, its
 
@@ -629,16 +728,22 @@ def pack_camera_scalars_bg(frame, background) -> jnp.ndarray:
 
 
 def scene_supports_persistent(scene) -> bool:
-    """The in-kernel shader covers SOLID + CHECKER textures (all four
-    materials); image/noise scenes use the front-half megakernel path."""
-    return not (scene.has_image or scene.has_noise)
+    """The in-kernel shader covers SOLID + CHECKER + NOISE (procedural
+    Perlin) textures with all four materials; image-texture scenes use the
+    front-half megakernel path. Noise requires the hash-procedural tables
+    (scene.perlin_procedural) — rng-filled tables would need in-kernel
+    gathers, which Mosaic cannot vectorize."""
+    if scene.has_image:
+        return False
+    return scene.perlin_procedural or not scene.has_noise
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "width", "height", "jump_px", "jump_py", "num_slots", "rows", "unroll",
-        "max_depth", "rr_start", "rr_lo", "rr_hi", "sky_gradient", "ablate",
+        "max_depth", "rr_start", "rr_lo", "rr_hi", "sky_gradient", "has_noise",
+        "ablate",
     ),
 )
 def render_persistent_pallas(
@@ -665,6 +770,7 @@ def render_persistent_pallas(
     rr_lo: float = 0.05,
     rr_hi: float = 0.95,
     sky_gradient: bool = False,
+    has_noise: bool = False,
     ablate: str = "",
 ):
     """Run the full wavefront render in one kernel launch.
@@ -719,6 +825,7 @@ def render_persistent_pallas(
         rr_lo=rr_lo,
         rr_hi=rr_hi,
         sky_gradient=sky_gradient,
+        has_noise=has_noise,
         max_iters=max_iters,
         ablate=ablate,
     )

@@ -130,6 +130,79 @@ def test_persistent_matches_intersection_oracle():
     np.testing.assert_allclose(fb, expect, rtol=1e-4, atol=1e-5)
 
 
+def test_i32_hash_matches_u32_bitexact():
+    """The kernel's signed-int32 hash re-expression (Mosaic has no uint32
+    vectors) must equal materials/perlin_hash.py bit-for-bit for every
+    table index, and the in-kernel marble must equal the XLA texture path."""
+    from raytracer_tpu.materials import perlin_hash as ph
+    from raytracer_tpu.materials.textures import perlin_turbulence
+    from raytracer_tpu.ops.persistent_kernel import (
+        _grad_i32,
+        _marble_i32,
+        _perm_i32,
+    )
+
+    h_u32 = np.arange(256, dtype=np.uint32)
+    h_i32 = jnp.arange(256, dtype=jnp.int32)
+    for axis in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(_perm_i32(axis, h_i32)), ph.perm_u8(axis, h_u32)
+        )
+    for k in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(_grad_i32(k, h_i32)), ph.grad_component(k, h_u32)
+        )
+
+    # Marble value vs the XLA texture path on a noise scene.
+    b = SceneBuilder(0)
+    t = b.noise(4)
+    b.lambertian(t)
+    scene = b.build()
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.uniform(-20, 20, (512, 3)).astype(np.float32))
+    sp = pts * 4.0
+    want = np.asarray(
+        0.5 * (1.0 + jnp.sin(sp[:, 2] + 10.0 * perlin_turbulence(scene, sp, 7)))
+    )
+    got = np.asarray(_marble_i32(sp[:, 0], sp[:, 1], sp[:, 2]))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
+def test_persistent_noise_emitter_exact():
+    """A huge NOISE-textured emitter around the camera: every camera ray hits
+    and terminates with radiance = marble(hit point). Pins the its = -scale
+    table encoding and the in-kernel procedural marble end to end."""
+    from raytracer_tpu.core.camera import camera_rays
+    from raytracer_tpu.geometry.intersect import intersect_scene
+    from raytracer_tpu.materials.textures import perlin_turbulence
+
+    b = SceneBuilder(0)
+    tex = b.noise(0.7)
+    light = b.diffuse_light(tex)
+    b.add_sphere((0, 0, 0), 100.0, light)
+    scene = b.build()
+    assert scene.perlin_procedural and scene.has_noise
+    w = 16
+    cam, settings = make_camera(
+        1.0, w, samples_per_pixel=1, max_depth=4, background=(9, 9, 9),
+        look_from=(0, 0, 0), look_at=(0, 0, -1),
+    )
+    fb, segs, iters = _render_persistent(scene, cam, settings, 1, 1024)
+    assert int(segs) == w * w
+
+    # Zero uniforms -> deterministic camera rays; recompute the hit points
+    # and the expected marble emission with the jnp reference path.
+    frame = camera_frame(cam, w, w)
+    pix = np.arange(w * w, dtype=np.int32)
+    uni = np.zeros((w * w, 4), np.float32)
+    o, d = camera_rays(frame, jnp.asarray(pix % w), jnp.asarray(pix // w), jnp.asarray(uni))
+    ref = intersect_scene(scene, o, d)
+    pt = np.asarray(o + ref.t[:, None] * d)
+    sp = jnp.asarray(pt) * 0.7
+    val = np.asarray(0.5 * (1.0 + jnp.sin(sp[:, 2] + 10.0 * perlin_turbulence(scene, sp, 7))))
+    np.testing.assert_allclose(fb, np.tile(val[:, None], (1, 3)), rtol=2e-4, atol=2e-5)
+
+
 def test_persistent_multi_slot_schedule():
     """spp large enough that lanes own several strided samples (num_slots > 1)
     and the wavefront is smaller than the sample budget."""
