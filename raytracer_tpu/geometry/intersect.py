@@ -245,6 +245,74 @@ def intersect_scene_pallas(
     return resolve_hits(scene, qd, origin, direction, t, prim)
 
 
+class LargeSceneTables(NamedTuple):
+    """Precomputed device tables for the large-scene intersectors: the dense
+    Pallas tables plus the BVH-derived cluster tables of ops/culled_kernel.
+    Build once per scene on the host (build_large_scene_tables)."""
+
+    sph_table: jnp.ndarray  # (S, 4) — dense kernel
+    quad_table: jnp.ndarray  # (Q, 12)
+    clusters: jnp.ndarray  # (G, 8) — culled kernel
+    cluster_order: jnp.ndarray  # (8, G)
+    sph_clustered: jnp.ndarray  # (S', 4) cluster-ordered
+    orig_ids: jnp.ndarray  # (S',) i32
+
+
+def build_large_scene_tables(scene: Scene, max_leaf: int = 128) -> LargeSceneTables:
+    """Host-side (NumPy BVH build): tables for intersect_scene_culled /
+    the dense Pallas fallback. Call once per scene, outside jit."""
+    from raytracer_tpu.ops import culled_kernel as ck
+    from raytracer_tpu.ops import intersect_kernel as ik
+
+    qd = quad_derived(scene)
+    cl, order, sph_cl, orig = ck.build_clusters(scene, max_leaf=max_leaf)
+    return LargeSceneTables(
+        sph_table=ik.pack_sphere_table(scene.sph_center, scene.sph_radius),
+        quad_table=ik.pack_quad_table(qd),
+        clusters=cl,
+        cluster_order=order,
+        sph_clustered=sph_cl,
+        orig_ids=orig,
+    )
+
+
+def intersect_scene_culled(
+    scene: Scene, tables: LargeSceneTables, origin, direction
+) -> HitRecord:
+    """Closest hit via the cluster-culled Pallas kernel — for COHERENT ray
+    batches (camera rays in pixel order), where the per-tile AABB skip
+    actually fires. The TPU analog of BVH.Hit's subtree culling
+    (/root/reference/internal/bvh.go:220-249): measured 1.5-4.4x over dense
+    brute force at 10K-50K spheres on camera rays, a wash on incoherent
+    bounce rays (docs/PERF_NOTES.md round 2). Oracle-exact vs intersect_scene."""
+    from raytracer_tpu.ops import culled_kernel as ck
+
+    t, prim = ck.intersect_pallas_culled(
+        tables.clusters,
+        tables.cluster_order,
+        tables.sph_clustered,
+        tables.orig_ids,
+        tables.quad_table,
+        scene.num_spheres,
+        origin,
+        direction,
+    )
+    qd = quad_derived(scene)
+    return resolve_hits(scene, qd, origin, direction, t, prim)
+
+
+def intersect_scene_pallas_tables(
+    scene: Scene, tables: LargeSceneTables, origin, direction
+) -> HitRecord:
+    """Dense Pallas closest hit from prebuilt tables (bounce rays on the
+    large-scene path; incoherent batches where culling cannot win)."""
+    from raytracer_tpu.ops import intersect_kernel as ik
+
+    t, prim = ik.intersect_pallas(tables.sph_table, tables.quad_table, origin, direction)
+    qd = quad_derived(scene)
+    return resolve_hits(scene, qd, origin, direction, t, prim)
+
+
 def closest_hit_t_prim(scene: Scene, origin, direction, t_min: float = DEFAULT_T_MIN):
     """Dense candidate search only: winning (t (N,), prim (N,) i32) without
     the epilogue (for the fused resolve+shade path)."""

@@ -66,15 +66,18 @@ def _bounce_step(
     sky_gradient: bool,
     state: WavefrontState,
     uniform_seq=None,
+    intersect_fn=None,
 ):
     """One wavefront bounce: intersect, accumulate emission/background,
     scatter, update masks. Mirrors one level of Ray.GetColor (ray.go:37-53).
     `packed` is the loop-invariant primitive shading table. `uniform_seq`
     ((max_depth, N, UNIFORMS_PER_BOUNCE), optional) replaces the per-bounce
     PRNG draw with injected uniforms — the hook the end-to-end GetColor
-    oracle test uses to compare against a scalar reference per ray."""
+    oracle test uses to compare against a scalar reference per ray.
+    `intersect_fn(scene, o, d) -> HitRecord` overrides the dense XLA
+    closest hit (large-scene Pallas intersectors)."""
     key, sub = jax.random.split(state.key)
-    hit = intersect_scene(scene, state.origin, state.direction)
+    hit = (intersect_fn or intersect_scene)(scene, state.origin, state.direction)
 
     # Miss -> background (ray.go:53). `background` is (3,) flat color unless
     # the static sky_gradient flag selects the book sky.
@@ -136,6 +139,8 @@ def trace(
     differentiable: bool = False,
     return_stats: bool = False,
     uniform_seq=None,
+    intersect_fn=None,
+    first_bounce_intersect_fn=None,
 ):
     """Trace a batch of rays to completion; returns radiance (N, 3)
     (or (radiance, traced_segment_count) with return_stats=True).
@@ -145,6 +150,12 @@ def trace(
 
     `uniform_seq` ((max_depth, N, UNIFORMS_PER_BOUNCE), optional): injected
     per-bounce shading uniforms instead of PRNG draws (oracle testing).
+
+    `intersect_fn` overrides the closest-hit backend for every bounce;
+    `first_bounce_intersect_fn` additionally peels bounce 0 out of the loop
+    with its own backend — the large-scene path feeds coherent camera rays
+    to the cluster-culled kernel there and dense Pallas afterwards. Neither
+    composes with differentiable=True (Pallas kernels have no VJP).
     """
     n = origin.shape[0]
     dtype = origin.dtype
@@ -162,8 +173,15 @@ def trace(
     packed = primitive_shading_table(scene)
     step = partial(
         _bounce_step, scene, packed, background, sky_gradient,
-        uniform_seq=uniform_seq,
+        uniform_seq=uniform_seq, intersect_fn=intersect_fn,
     )
+
+    if first_bounce_intersect_fn is not None:
+        assert not differentiable, "Pallas intersectors have no VJP"
+        init = _bounce_step(
+            scene, packed, background, sky_gradient, init,
+            uniform_seq=uniform_seq, intersect_fn=first_bounce_intersect_fn,
+        )
 
     if differentiable:
         # Fixed-depth scan; checkpoint each bounce so the backward pass

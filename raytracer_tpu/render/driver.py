@@ -26,6 +26,13 @@ from raytracer_tpu.render.postprocess import to_u8
 # against regeneration occupancy (measured best on v5e).
 DEFAULT_TARGET_RAYS_PER_PASS = 1 << 19
 
+# Above this primitive count the in-kernel paths stop working/paying:
+# the persistent kernel's VMEM/SMEM tables no longer fit (compile OOM at
+# 10K spheres) and the megakernel's in-kernel dense loop crawls (1.2 Mrays/s
+# at 10K). Large scenes render per-pass with the cluster-culled camera
+# intersector + dense-Pallas bounces (docs/PERF_NOTES.md round 2).
+LARGE_SCENE_PRIMS = 4096
+
 
 def samples_per_pass_for(
     spp: int, num_pixels: int, target_rays: int = DEFAULT_TARGET_RAYS_PER_PASS
@@ -154,6 +161,113 @@ def render_regen(scene, cam, key, *, spp, height, width, return_stats=False, **k
     return out.reshape(height, width, 3) / jnp.float32(spp)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "k", "n_pad", "max_depth", "sky_gradient"),
+)
+def _large_scene_pass(
+    scene: Scene,
+    tables,
+    cam: Camera,
+    key,
+    *,
+    width: int,
+    height: int,
+    k: int,
+    n_pad: int,
+    max_depth: int,
+    sky_gradient: bool,
+):
+    """One pass of the large-scene renderer: k samples/pixel in a single
+    batch. Camera rays are pixel-ordered (coherent) -> cluster-culled Pallas
+    closest hit; bounce rays are incoherent -> dense Pallas. The batch is
+    padded to the culled kernel's (128 x 128)-ray tile with far dummy rays
+    whose radiance is discarded. Returns ((H, W, 3) radiance sum, segments)."""
+    from raytracer_tpu.geometry.intersect import (
+        intersect_scene_culled,
+        intersect_scene_pallas_tables,
+    )
+    from raytracer_tpu.integrator.wavefront import trace
+
+    n = width * height
+    frame = camera_frame(cam, width, height)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (k * n, 1), 0)[:, 0] % n
+    key_cam, key_trace = jax.random.split(key)
+    cam_uniforms = jax.random.uniform(key_cam, (k * n, 4), jnp.float32)
+    origin, direction = camera_rays(frame, pix % width, pix // width, cam_uniforms)
+    pad = n_pad - k * n
+    if pad:
+        origin = jnp.concatenate(
+            [origin, jnp.full((pad, 3), 1e7, jnp.float32)], axis=0
+        )
+        direction = jnp.concatenate(
+            [direction, jnp.broadcast_to(jnp.float32(1.0), (pad, 3))], axis=0
+        )
+    radiance, segments = trace(
+        scene,
+        origin,
+        direction,
+        key_trace,
+        cam.background,
+        max_depth=max_depth,
+        sky_gradient=sky_gradient,
+        return_stats=True,
+        intersect_fn=lambda sc, o, d: intersect_scene_pallas_tables(sc, tables, o, d),
+        first_bounce_intersect_fn=lambda sc, o, d: intersect_scene_culled(
+            sc, tables, o, d
+        ),
+    )
+    per_pixel = radiance[: k * n].reshape(k, n, 3).sum(axis=0)
+    return per_pixel.reshape(height, width, 3), segments
+
+
+def _render_large_scene(scene, cam, settings, *, seed, progress, metrics=None):
+    """Pass loop for scenes past LARGE_SCENE_PRIMS (see the constant's note).
+    The scale analog of the reference's BVH acceleration (bvh.go:220-249):
+    coherent camera batches get subtree culling; incoherent bounces use the
+    dense kernel, which the culling measurably cannot beat on TPU."""
+    from raytracer_tpu.geometry.intersect import build_large_scene_tables
+    from raytracer_tpu.ops.culled_kernel import CULL_ROWS
+    from raytracer_tpu.ops.intersect_kernel import LANES
+
+    w, h, spp = settings.width, settings.height, settings.samples_per_pixel
+    n = w * h
+    tables = build_large_scene_tables(scene)  # host-side BVH clustering, once
+    k = samples_per_pass_for(spp, n)
+    tile = CULL_ROWS * LANES
+    n_pad = -(-(k * n) // tile) * tile
+    passes = spp // k
+    key = jax.random.PRNGKey(seed)
+    acc = jnp.zeros((h, w, 3), jnp.float32)
+    seg_parts = []  # device scalars; synced once at the end
+    if metrics is not None:
+        metrics.wavefront_lanes = n_pad
+    for p in range(passes):
+        fb, segs = _large_scene_pass(
+            scene,
+            tables,
+            cam,
+            jax.random.fold_in(key, p),
+            width=w,
+            height=h,
+            k=k,
+            n_pad=n_pad,
+            max_depth=settings.max_depth,
+            sky_gradient=settings.sky_gradient,
+        )
+        acc = acc + fb
+        seg_parts.append(segs)
+        if metrics is not None:
+            metrics.update((p + 1) * k)
+        if progress:
+            print(f"pass {p + 1}/{passes} ({(p + 1) * k}/{spp} spp)", flush=True)
+    if metrics is not None:
+        metrics.update(
+            passes * k, segments=sum(int(s) for s in seg_parts), iters=passes
+        )
+    return acc / jnp.float32(spp)
+
+
 def render_image(
     scene: Scene,
     cam: Camera,
@@ -182,6 +296,15 @@ def render_image(
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
     n = w * h
     key = jax.random.PRNGKey(seed)
+
+    if (
+        regenerative
+        and jax.default_backend() == "tpu"
+        and scene.num_spheres + scene.num_quads > LARGE_SCENE_PRIMS
+    ):
+        return _render_large_scene(
+            scene, cam, settings, seed=seed, progress=progress, metrics=metrics
+        )
 
     if regenerative:
         from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
