@@ -10,7 +10,11 @@ corners, camera) flow through the whole wavefront via:
 * the checkpointed `lax.scan` bounce loop (integrator/wavefront.py);
 * straight-through discrete events: hit-selection (argmin), the dielectric
   reflect/refract coin and the metal absorb test keep their sampled branch,
-  and gradients flow through the selected branch's smooth math.
+  and gradients flow through the selected branch's smooth math;
+* silhouette (visibility) discontinuities: the boundary term that interior
+  autodiff cannot see is added by edge sampling (diff/boundary.py) when
+  `boundary=True` — analytic sphere contours + quad edges, primary
+  visibility.
 
 For multi-device runs the loss is computed under sharding constraints: rays
 sharded, scene parameters replicated — XLA inserts the `psum` that all-reduces
@@ -95,18 +99,27 @@ def render_loss(
     samples_per_pass: int,
     max_depth: int,
     sky_gradient: bool = False,
+    boundary_fn=None,
 ):
-    """MSE between a fresh stochastic render and a target image (linear RGB)."""
+    """MSE between a fresh stochastic render and a target image (linear RGB).
+
+    `boundary_fn` (from diff.boundary.make_boundary_image_fn, built with the
+    same rebuild/size/depth): adds the zero-valued silhouette-gradient image
+    so geometry gradients include the visibility boundary term.
+    """
+    key_img, key_edge = jax.random.split(key)
     img = render_linear_diff(
         rebuild(params),
         cam,
-        key,
+        key_img,
         width=width,
         height=height,
         samples_per_pass=samples_per_pass,
         max_depth=max_depth,
         sky_gradient=sky_gradient,
     )
+    if boundary_fn is not None:
+        img = img + boundary_fn(params, cam, key_edge)
     return jnp.mean((img - target) ** 2)
 
 
@@ -123,19 +136,34 @@ def make_inverse_renderer(
     sky_gradient: bool = False,
     learning_rate: float = 1e-2,
     optimizer=None,
+    boundary: bool = False,
 ):
     """Build (init_params, opt_state, step_fn) for gradient-descent scene
     recovery (BASELINE.json config 5). `step_fn(params, opt_state, key)`
-    returns (params, opt_state, loss)."""
+    returns (params, opt_state, loss). `boundary=True` adds edge-sampled
+    silhouette gradients (diff/boundary.py) — needed when the trainables move
+    geometry whose silhouettes are in view."""
     params, rebuild = split_scene(scene, trainable)
     opt = optimizer or optax.adam(learning_rate)
     opt_state = opt.init(params)
+    boundary_fn = None
+    if boundary:
+        from raytracer_tpu.diff.boundary import make_boundary_image_fn
+
+        boundary_fn = make_boundary_image_fn(
+            rebuild,
+            width=width,
+            height=height,
+            max_depth=max_depth,
+            sky_gradient=sky_gradient,
+        )
     loss_kw = dict(
         width=width,
         height=height,
         samples_per_pass=samples_per_pass,
         max_depth=max_depth,
         sky_gradient=sky_gradient,
+        boundary_fn=boundary_fn,
     )
 
     @jax.jit

@@ -3,13 +3,13 @@
 
 Note on geometry gradients: a path tracer's radiance is only *piecewise*
 smooth in geometry parameters — moving a sphere changes which paths hit it
-(silhouette discontinuities). Autodiff returns the almost-everywhere
+(silhouette discontinuities). Plain autodiff returns the almost-everywhere
 (interior) derivative; FD additionally picks up discontinuity flux from
-sample points that cross a boundary within the FD step. With a smooth
-environment (the gradient sky) the interior term is the dominant signal, so
-geometry is checked with a loose tolerance; color/texture/emission parameters
-are fully continuous and are checked tightly. (Exact silhouette gradients via
-warped-area reparameterization are future work, tracked in SURVEY.md §7.)
+sample points that cross a boundary within the FD step. This file checks the
+interior derivative in silhouette-free setups (tight for continuous
+color/texture/emission parameters, loose for geometry); the boundary term for
+general views is implemented by edge sampling in diff/boundary.py and tested
+with silhouettes in view in tests/test_boundary_grad.py.
 """
 
 import numpy as np
@@ -101,9 +101,8 @@ def test_fd_matches_geometry_interior_derivative():
     the whole frame under the smooth sky — makes radiance a *continuous*
     function of the sphere center (via hit points and normals), so FD and the
     autodiff interior derivative must agree. (With silhouettes in view, FD
-    additionally measures boundary flux that plain AD cannot see — verified
-    empirically: that flux does not shrink with eps. Silhouette-aware gradients
-    are future work.)"""
+    additionally measures boundary flux that plain AD cannot see; that term is
+    covered by edge sampling — see tests/test_boundary_grad.py.)"""
     b = SceneBuilder(0)
     b.add_sphere((0.0, 0.0, -3.0), 2.0, b.lambertian((0.6, 0.3, 0.2)))
     # Slightly off-axis view breaks the symmetry that would zero out the
