@@ -97,12 +97,16 @@ def main() -> None:
     scene, cam, settings = get_scene("rand_spheres", width=width, spp=spp)
     w, h = settings.width, settings.height
 
-    # Wavefront sized so the per-lane sample queue keeps the VMEM retirement
-    # log small (K*rows*128*3*4B) while lanes still own enough samples for the
-    # per-tile drain tail to average out (see docs/PERF_NOTES.md).
-    wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", "0")) or (
-        1 << 20 if spp >= 256 else 1 << 19
-    )
+    # Wavefront sized for ~64 samples per lane at small grids, ~45 at large
+    # (matching render/driver.py): tiles drain at the pace of their slowest
+    # lane, so more samples per lane averages the path-length tail away; the
+    # VMEM budget for the retirement log shrinks with grid size (revolving
+    # buffers), capping K.
+    def _wavefront_for(spp_):
+        k = 64 if w * h * spp_ <= 16 * 64 * 8192 else 43
+        return int(min(max(-(-(w * h * spp_) // k), 1 << 16), 1 << 21))
+
+    wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", "0")) or _wavefront_for(spp)
     main_run = _measure(scene, cam, settings, spp=spp, wavefront=wavefront, repeats=repeats)
 
     detail = dict(main_run)
@@ -110,7 +114,7 @@ def main() -> None:
     detail["device"] = str(jax.devices()[0])
     if os.environ.get("RT_BENCH_LOW_SPP", "1") == "1" and spp != 64:
         detail["low_spp"] = _measure(
-            scene, cam, settings, spp=64, wavefront=1 << 19, repeats=repeats
+            scene, cam, settings, spp=64, wavefront=_wavefront_for(64), repeats=repeats
         )
     # Texture-heavy scenes (VERDICT round-1 weak #7): perlin marble and the
     # emissive simple_light, both on the persistent kernel via the
@@ -120,7 +124,7 @@ def main() -> None:
         for extra in ("perlin", "simple_light"):
             sc, cm, st = get_scene(extra, width=width, spp=500)
             detail[extra] = _measure(
-                sc, cm, st, spp=500, wavefront=1 << 20, repeats=repeats
+                sc, cm, st, spp=500, wavefront=_wavefront_for(500), repeats=repeats
             )
 
     print(

@@ -313,18 +313,26 @@ def render_image(
         use_pallas = on_tpu
         # Whole-loop-in-kernel fast path: solid/checker scenes on TPU.
         use_persistent = on_tpu and scene_supports_persistent(scene)
-        # Wavefront at least one full image (capped): chunking a big image
-        # through a small wavefront measured 10x slower (per-call overheads +
-        # low occupancy) — 1200x800@500spp went 432s -> ~25s with this.
+        # Wavefront sizing. Non-persistent paths: at least one full image
+        # (capped) — chunking a big image through a small wavefront measured
+        # 10x slower (per-call overheads + low occupancy); 1200x800@500spp
+        # went 432s -> ~25s with this. Persistent path: size for ~max_slots
+        # samples per LANE instead — each (64x128) tile drains independently
+        # at the pace of its slowest lane, and more samples per lane averages
+        # the path-length tail away (measured at 400x225@64spp: 11 slots ->
+        # occupancy 0.60 / 101 Mrays/s; 40 slots -> 0.75 / 113; 64 -> 0.82 /
+        # 125; 88 -> 0.86 / 123). The VMEM ceiling on K depends on grid size:
+        # the compiler allocates more revolving buffers for the log block
+        # (3*K*rows*128 f32) at larger grids — K=64 compiles at grid <= 16
+        # but OOMs at grid 86; K<=43 fits everywhere measured (grid 128 is
+        # K=43 is the production 500-spp shape).
         max_wavefront = 1 << 21
-        wavefront = int(max(target_rays_per_pass, min(n, max_wavefront)))
-        # Bound the regen retirement log (3, K, N): K = ceil(n*spp_chunk/N).
-        # Keep K <= 64 (~768 MB at N=1M) by chunking the spp budget; equal
-        # chunk sizes so every chunk reuses ONE compiled executable. The
-        # persistent kernel holds its tile's log slice in VMEM
-        # (3*K*rows*128 f32), so cap tighter there: K=40 at rows=64 is
-        # ~3.9 MB of the ~16 MB VMEM (K=86 fails to compile).
-        max_slots = 40 if use_persistent else 64
+        max_slots = (64 if n * spp <= 16 * 64 * 8192 else 43) if use_persistent else 64
+        if use_persistent:
+            ideal = -(-(n * spp) // max_slots)
+            wavefront = int(min(max(ideal, 1 << 16), max_wavefront))
+        else:
+            wavefront = int(max(target_rays_per_pass, min(n, max_wavefront)))
         cap = max(1, min(spp, (max_slots * wavefront) // max(1, n)))
         # Prefer a divisor of spp: every chunk is the same size -> exactly
         # ONE compiled executable (a second chunk size costs a ~minute-scale
