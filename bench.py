@@ -97,16 +97,16 @@ def main() -> None:
     scene, cam, settings = get_scene("rand_spheres", width=width, spp=spp)
     w, h = settings.width, settings.height
 
-    # Wavefront sized for ~64 samples per lane at small grids, ~45 at large
-    # (matching render/driver.py): tiles drain at the pace of their slowest
-    # lane, so more samples per lane averages the path-length tail away; the
-    # VMEM budget for the retirement log shrinks with grid size (revolving
-    # buffers), capping K.
-    def _wavefront_for(spp_):
-        k = 64 if w * h * spp_ <= 16 * 64 * 8192 else 43
+    # Wavefront sized for ~64 samples per lane (matching render/driver.py;
+    # 40 for noise scenes, whose in-kernel Perlin temporaries eat VMEM):
+    # tiles drain at the pace of their slowest lane, so more samples per lane
+    # averages the path-length tail away; K=64 is the VMEM ceiling for the
+    # double-buffered retirement log.
+    def _wavefront_for(spp_, scn):
+        k = 40 if scn.has_noise else 64
         return int(min(max(-(-(w * h * spp_) // k), 1 << 16), 1 << 21))
 
-    wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", "0")) or _wavefront_for(spp)
+    wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", "0")) or _wavefront_for(spp, scene)
     main_run = _measure(scene, cam, settings, spp=spp, wavefront=wavefront, repeats=repeats)
 
     detail = dict(main_run)
@@ -114,7 +114,7 @@ def main() -> None:
     detail["device"] = str(jax.devices()[0])
     if os.environ.get("RT_BENCH_LOW_SPP", "1") == "1" and spp != 64:
         detail["low_spp"] = _measure(
-            scene, cam, settings, spp=64, wavefront=_wavefront_for(64), repeats=repeats
+            scene, cam, settings, spp=64, wavefront=_wavefront_for(64, scene), repeats=repeats
         )
     # Texture-heavy scenes (VERDICT round-1 weak #7): perlin marble and the
     # emissive simple_light, both on the persistent kernel via the
@@ -124,7 +124,7 @@ def main() -> None:
         for extra in ("perlin", "simple_light"):
             sc, cm, st = get_scene(extra, width=width, spp=500)
             detail[extra] = _measure(
-                sc, cm, st, spp=500, wavefront=_wavefront_for(500), repeats=repeats
+                sc, cm, st, spp=500, wavefront=_wavefront_for(500, sc), repeats=repeats
             )
 
     print(

@@ -849,6 +849,13 @@ def render_persistent_pallas(
             jax.ShapeDtypeStruct((grid, 3 * num_slots * rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((grid, 8, LANES), jnp.int32),
         ],
+        # "arbitrary" = sequential tiles: stops the pipeliner from revolving
+        # extra copies of the (3*K*rows, 128) log block across grid steps,
+        # which is what capped K (samples/lane) by VMEM. The writeback it
+        # would have overlapped is ~10 us per multi-ms tile.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
     )(
         sph_table.reshape(-1), quad_table.reshape(-1), cam_scalars,
         jnp.asarray([seed], jnp.int32),
