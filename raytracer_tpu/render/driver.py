@@ -321,13 +321,14 @@ def render_image(
         # at the pace of its slowest lane, and more samples per lane averages
         # the path-length tail away (measured at 400x225@64spp: 11 slots ->
         # occupancy 0.60 / 101 Mrays/s; 40 slots -> 0.75 / 113; 64 -> 0.82 /
-        # 125; 88 -> 0.86 / 123). The VMEM ceiling on K depends on grid size:
-        # the compiler allocates more revolving buffers for the log block
-        # (3*K*rows*128 f32) at larger grids — K=64 compiles at grid <= 16
-        # but OOMs at grid 86; K<=43 fits everywhere measured (grid 128 is
-        # K=43 is the production 500-spp shape).
+        # 125; 88 -> 0.86 / 123). K=64 is the VMEM ceiling: the kernel's grid
+        # dimension is marked "arbitrary" so the pipeliner keeps only two
+        # copies of the (3*K*rows, 128) log block (2*6.3 MB at K=64 within
+        # the 16 MB budget; K=86 at 2 copies misses by 712 KB). The in-kernel
+        # Perlin shader adds ~6 MB of stack temporaries, so noise scenes cap
+        # lower (K=64 OOMs by 3.6 MB there; 40 fits).
         max_wavefront = 1 << 21
-        max_slots = (64 if n * spp <= 16 * 64 * 8192 else 43) if use_persistent else 64
+        max_slots = 40 if scene.has_noise else 64
         if use_persistent:
             ideal = -(-(n * spp) // max_slots)
             wavefront = int(min(max(ideal, 1 << 16), max_wavefront))
