@@ -41,9 +41,18 @@ def _measure(scene, cam, settings, *, spp, wavefront, repeats):
     """Median traced/camera rates over `repeats` timed runs."""
     from raytracer_tpu.render.driver import render_regen
 
+    from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+
     w, h = settings.width, settings.height
     n = w * h
     on_tpu = jax.default_backend() == "tpu"
+    # Persistent whole-loop kernel where the scene's textures allow it
+    # (image-texture scenes run the megakernel front-half instead).
+    persistent = (
+        on_tpu
+        and scene_supports_persistent(scene)
+        and os.environ.get("RT_BENCH_PERSISTENT", "1") == "1"
+    )
     kw = dict(
         width=w,
         height=h,
@@ -52,8 +61,8 @@ def _measure(scene, cam, settings, *, spp, wavefront, repeats):
         max_depth=settings.max_depth,
         sky_gradient=False,
         use_pallas=on_tpu,
-        use_persistent=on_tpu and os.environ.get("RT_BENCH_PERSISTENT", "1") == "1",
-        use_megakernel=on_tpu and os.environ.get("RT_BENCH_PERSISTENT", "1") != "1",
+        use_persistent=persistent,
+        use_megakernel=on_tpu and not persistent,
         rr_max_q=0.75,
         return_stats=True,
     )
@@ -117,11 +126,12 @@ def main() -> None:
             scene, cam, settings, spp=64, wavefront=_wavefront_for(64, scene), repeats=repeats
         )
     # Texture-heavy scenes (VERDICT round-1 weak #7): perlin marble and the
-    # emissive simple_light, both on the persistent kernel via the
-    # hash-procedural noise (materials/perlin_hash.py). Reference workloads
-    # are 100/500 spp (main.go:106-192); 500 here for a stable timing window.
+    # emissive simple_light on the persistent kernel (hash-procedural noise,
+    # materials/perlin_hash.py); earth (image texture) on the megakernel
+    # front-half path. Reference workloads are 100/500 spp
+    # (main.go:80-192); 500 here for a stable timing window.
     if os.environ.get("RT_BENCH_SCENES", "1") == "1":
-        for extra in ("perlin", "simple_light"):
+        for extra in ("perlin", "simple_light", "earth"):
             sc, cm, st = get_scene(extra, width=width, spp=500)
             detail[extra] = _measure(
                 sc, cm, st, spp=500, wavefront=_wavefront_for(500, sc), repeats=repeats
