@@ -1,14 +1,16 @@
-"""Inverse-rendering demo (BASELINE.json config 5, single-chip version):
-recover the sphere albedos from a target image by gradient descent through
-the differentiable renderer. (Geometry parameters are recoverable only in
-silhouette-free setups with plain autodiff — moving a sphere changes which
-paths hit it, a discontinuity the interior derivative cannot see; see
-tests/test_grad.py and docs/PERF_NOTES.md. Silhouette-aware gradients are
-round-2+ work.)
+"""Inverse-rendering demo (BASELINE.json config 5, single-chip version).
+
+Stage 1: recover the sphere albedos from a target image by gradient descent
+through the differentiable renderer.
+Stage 2: recover a laterally displaced sphere CENTER — moving a sphere
+changes which paths hit it, a visibility discontinuity interior autodiff
+cannot see; the edge-sampled silhouette boundary term (diff/boundary.py)
+supplies it.
 
     python scripts/inverse_render_demo.py          # writes out/inverse/*
 
-Artifacts: target.png, init.png, recovered.png, history.json.
+Artifacts: target.png, init.png, recovered.png, geometry_recovered.png,
+history.json.
 """
 
 from __future__ import annotations
@@ -93,6 +95,48 @@ def main() -> None:
         "recovered_albedo1": [round(float(x), 3) for x in params["tex_c0"][1]],
         "true_albedo1": [0.10, 0.25, 0.75],
     }
+    # ---- Stage 2: geometry recovery via silhouette boundary gradients ----
+    true_center = jnp.asarray(center1, jnp.float32)
+    wrong_geo = true_scene.replace(
+        sph_center=true_scene.sph_center.at[1].set(
+            true_center + jnp.asarray([0.45, -0.3, 0.0])
+        )
+    )
+    gparams, gopt_state, gstep = make_inverse_renderer(
+        wrong_geo,
+        cam,
+        target,
+        trainable=("sph_center",),
+        width=96,
+        height=96,
+        samples_per_pass=8,
+        max_depth=5,
+        sky_gradient=True,
+        learning_rate=2e-2,
+        boundary=True,
+    )
+    gkey = jax.random.PRNGKey(13)
+    t1 = time.perf_counter()
+    ghistory = []
+    for i in range(150):
+        gparams, gopt_state, gloss = gstep(
+            gparams, gopt_state, jax.random.fold_in(gkey, i)
+        )
+        if i % 25 == 0 or i == 149:
+            ghistory.append({"step": i, "loss": float(gloss)})
+            print(f"geo step {i:4d}  loss {float(gloss):.6f}", flush=True)
+    gdt = time.perf_counter() - t1
+    geo_scene = wrong_geo.replace(**gparams)
+    geo_img = render_linear_diff(geo_scene, cam, jax.random.PRNGKey(3), **kw)
+    write_png(f"{out_dir}/geometry_recovered.png", np.asarray(to_u8(geo_img)))
+    result["geometry"] = {
+        "wall_s": round(gdt, 1),
+        "loss_history": ghistory,
+        "recovered_center1": [round(float(x), 3) for x in gparams["sph_center"][1]],
+        "true_center1": list(center1),
+        "init_center1": [round(float(x), 3) for x in np.asarray(wrong_geo.sph_center[1])],
+    }
+
     with open(f"{out_dir}/history.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
