@@ -180,9 +180,12 @@ def make_boundary_image_fn(
 
     Forward: exact zeros (the boundary term has zero *value*, it is pure
     gradient). Backward: edge-sampled silhouette gradients for the geometry
-    leaves present in `params` (sph_center, sph_radius, quad_q/u/v); all other
-    leaves receive zero cotangent. Add its output to the interior render
-    (diff/grad.render_linear_diff) before the loss.
+    leaves present in `params` (sph_center, sph_radius, quad_q/u/v) AND for
+    the camera pytree — moving the camera moves the projected silhouettes,
+    so look_from/look_at/fov get their boundary terms through the same
+    x(θ)·n̂ machinery; all other leaves receive zero cotangent. Add its
+    output to the interior render (diff/grad.render_linear_diff) before the
+    loss.
     """
 
     cfg = config
@@ -201,11 +204,12 @@ def make_boundary_image_fn(
             M = cfg.samples_per_sphere
             phi = (jnp.arange(M, dtype=jnp.float32) + 0.5) * (2.0 * math.pi / M)
 
-            def sphere_x(p):
+            def sphere_x(p, camera):
                 c = p.get("sph_center", scene.sph_center)
                 r = p.get("sph_radius", scene.sph_radius)
-                pts, _ = sphere_contour_points(c, r, eye, phi)
-                s, t, _ = project_to_pixels(frame, pts)
+                fr = camera_frame(camera, width, height)
+                pts, _ = sphere_contour_points(c, r, fr.center, phi)
+                s, t, _ = project_to_pixels(fr, pts)
                 return jnp.stack([s, t], axis=-1).reshape(-1, 2)
 
             c_sg = params_sg.get("sph_center", scene.sph_center)
@@ -244,12 +248,13 @@ def make_boundary_image_fn(
             Me = cfg.samples_per_quad_edge
             tau = (jnp.arange(Me, dtype=jnp.float32) + 0.5) / Me
 
-            def quad_x(p):
+            def quad_x(p, camera):
                 q = p.get("quad_q", scene.quad_q)
                 u = p.get("quad_u", scene.quad_u)
                 v = p.get("quad_v", scene.quad_v)
+                fr = camera_frame(camera, width, height)
                 pts, _ = quad_edge_points(q, u, v, tau)
-                s, t, _ = project_to_pixels(frame, pts)
+                s, t, _ = project_to_pixels(fr, pts)
                 return jnp.stack([s, t], axis=-1).reshape(-1, 2)
 
             q_sg = params_sg.get("quad_q", scene.quad_q)
@@ -271,10 +276,12 @@ def make_boundary_image_fn(
             pieces.append((quad_x, x_sg.reshape(-1, 2), tangent.reshape(-1, 2),
                            anchor, valid, dl))
 
+        zero_cam = jax.tree_util.tree_map(jnp.zeros_like, cam)
         if not pieces:
-            return jax.tree_util.tree_map(jnp.zeros_like, params)
+            return jax.tree_util.tree_map(jnp.zeros_like, params), zero_cam
 
         grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        cam_grads = zero_cam
         for x_fn, x_sg, tangent, anchor, valid, dl in pieces:
             tan_norm = jnp.linalg.norm(tangent, axis=-1)
             that = tangent / jnp.maximum(tan_norm, 1e-12)[:, None]
@@ -316,13 +323,14 @@ def make_boundary_image_fn(
             w = sg(jnp.where(jnp.isfinite(w), w, 0.0))
             n_sg = sg(n_hat)
 
-            def scalar(p):
-                x = x_fn(p)
+            def scalar(p, camera):
+                x = x_fn(p, camera)
                 return jnp.sum(w * jnp.sum(x * n_sg, axis=-1))
 
-            piece_grads = jax.grad(scalar)(params)
+            piece_grads, piece_cam = jax.grad(scalar, argnums=(0, 1))(params, cam)
             grads = jax.tree_util.tree_map(jnp.add, grads, piece_grads)
-        return grads
+            cam_grads = jax.tree_util.tree_map(jnp.add, cam_grads, piece_cam)
+        return grads, cam_grads
 
     # The PRNG key rides through custom_vjp as float32-bitcast raw bits —
     # integer/key-typed args would need float0 cotangents; a float arg just
@@ -342,9 +350,8 @@ def make_boundary_image_fn(
         key = jax.random.wrap_key_data(
             jax.lax.bitcast_convert_type(key_bits_f32, jnp.uint32)
         )
-        g = _edge_cotangent(params, cam, key, ct)
-        zero_cam = jax.tree_util.tree_map(jnp.zeros_like, cam)
-        return g, zero_cam, jnp.zeros_like(key_bits_f32)
+        g, g_cam = _edge_cotangent(params, cam, key, ct)
+        return g, g_cam, jnp.zeros_like(key_bits_f32)
 
     _boundary_image.defvjp(fwd, bwd)
 

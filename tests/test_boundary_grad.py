@@ -190,3 +190,51 @@ def test_inverse_rendering_recovers_center():
         params, opt_state, _ = step(params, opt_state, jax.random.fold_in(key, i))
     got = np.asarray(params["sph_center"][0])
     np.testing.assert_allclose(got, [0.0, 0.0, -3.0], atol=0.08)
+
+
+def test_camera_silhouette_fd_parity():
+    """Camera parameters get boundary terms too: moving look_from moves the
+    projected silhouette, and interior AD (through camera_rays) misses that
+    flux entirely on axes where the smooth term is ~0."""
+    b = SceneBuilder(0)
+    b.add_sphere((0.3, -0.1, -3.0), 1.0, b.lambertian((0.6, 0.3, 0.2)))
+    scene = b.build()
+    cam, _ = make_camera(1.0, W, fov_degrees=55, look_from=(0, 0, 0),
+                         look_at=(0.1, 0, -3))
+    params, rebuild = split_scene(scene, trainable=("sph_center",))
+    wfix = jax.random.uniform(jax.random.PRNGKey(5), (H, W, 3))
+    bfn = make_boundary_image_fn(
+        rebuild, width=W, height=H, max_depth=3, sky_gradient=True, config=CFG,
+    )
+
+    @jax.jit
+    def loss_k(c, key):
+        return jnp.mean(render_linear_diff(rebuild(params), c, key, **KW) * wfix)
+
+    def loss_avg(c):
+        return float(np.mean(
+            [float(loss_k(c, jax.random.PRNGKey(7000 + i))) for i in range(NKEYS)]
+        ))
+
+    @jax.jit
+    def grad_full(c, key, kb):
+        def full(cc):
+            img = render_linear_diff(rebuild(params), cc, key, **KW)
+            return jnp.mean((img + bfn(params, cc, kb)) * wfix)
+        return jax.grad(full)(c)
+
+    gs = [grad_full(cam, jax.random.PRNGKey(7000 + i), jax.random.PRNGKey(9000 + i))
+          for i in range(NKEYS)]
+    gf = np.mean([np.asarray(g.look_from) for g in gs], axis=0)
+
+    lf = np.asarray(cam.look_from)
+    fds = []
+    for i in range(3):
+        eps = 5e-3
+        e = np.zeros(3, np.float32); e[i] = eps
+        fd = (loss_avg(cam._replace(look_from=jnp.asarray(lf + e)))
+              - loss_avg(cam._replace(look_from=jnp.asarray(lf - e)))) / (2 * eps)
+        fds.append(fd)
+    fds = np.array(fds)
+    scale = np.abs(fds).max()
+    np.testing.assert_allclose(gf, fds, rtol=0.15, atol=0.08 * scale)
