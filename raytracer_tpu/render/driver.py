@@ -240,8 +240,9 @@ def _render_large_scene(scene, cam, settings, *, seed, progress, metrics=None):
     key = jax.random.PRNGKey(seed)
     acc = jnp.zeros((h, w, 3), jnp.float32)
     seg_parts = []  # device scalars; synced once at the end
-    if metrics is not None:
-        metrics.wavefront_lanes = n_pad
+    # metrics.wavefront_lanes stays 0 on this path: `iters` counts passes,
+    # not wavefront loop iterations, so a lanes-based occupancy would be
+    # meaningless (the bounce loop runs inside trace()'s while_loop).
     for p in range(passes):
         fb, segs = _large_scene_pass(
             scene,

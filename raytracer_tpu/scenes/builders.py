@@ -209,3 +209,43 @@ def one_weekend_final(seed: int = 0, *, width: int = 1200, spp: int = 500, max_d
         seed, width=width, spp=spp, max_depth=max_depth, aspect=1.5
     )
     return scene, cam, settings._replace(sky_gradient=True)
+
+
+def rand_spheres_large(
+    seed: int = 0,
+    *,
+    width: int = 400,
+    spp: int = 32,
+    max_depth: int = 8,
+    n_spheres: int = 10000,
+    aspect: float = 16.0 / 9.0,
+):
+    """Scaled-up random-sphere field (n_spheres on a grid, default 10K) —
+    the workload for the BVH-cluster large-scene render path
+    (render/driver._render_large_scene; the scale analog of the reference's
+    BVH acceleration, bvh.go:220-249). Not a reference scene; defaults are
+    sized for a practical render, override with --spp/--max-depth."""
+    cam, settings = make_camera(
+        aspect,
+        width,
+        samples_per_pixel=spp,
+        max_depth=max_depth,
+        look_from=(13, 6, 3),
+        look_at=(0, 0, 0),
+        fov_degrees=40,
+        background=SKY_BLUE,
+    )
+    settings = settings._replace(sky_gradient=True)
+    b = SceneBuilder(seed)
+    rng = np.random.default_rng(seed + 1)
+    b.add_sphere((0, -1000, 0), 1000, b.lambertian((0.5, 0.5, 0.5)))
+    side = int(np.sqrt(n_spheres))
+    for i in range(side):
+        for j in range(side):
+            c = (
+                i - side / 2 + 0.9 * rng.random(),
+                0.2,
+                j - side / 2 + 0.9 * rng.random(),
+            )
+            b.add_sphere(c, 0.2, b.lambertian(tuple(rng.random(3) * rng.random(3))))
+    return b.build(), cam, settings

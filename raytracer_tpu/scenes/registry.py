@@ -13,6 +13,7 @@ SCENES = {
     "simple_light": builders.simple_light,
     "cornell": builders.cornell_box,
     "one_weekend_final": builders.one_weekend_final,
+    "rand_spheres_large": builders.rand_spheres_large,
 }
 
 
