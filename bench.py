@@ -84,8 +84,12 @@ def _measure(scene, cam, settings, *, spp, wavefront, repeats):
     i = walls.index(statistics.median_low(walls))
     dt, total_segments, total_iters = walls[i], seg_counts[i], iter_counts[i]
     # Persistent path: iters are summed over (rows=64 x 128)-lane tiles;
-    # megakernel/baseline: iters are whole-wavefront.
-    lanes_per_iter = 8192 if kw["use_persistent"] else wavefront
+    # megakernel/baseline: iters are whole-wavefront over the actual padded
+    # lane count.
+    from raytracer_tpu.integrator.wavefront import strided_schedule
+
+    n_lanes, _, _ = strided_schedule(n, spp, wavefront)
+    lanes_per_iter = 8192 if kw["use_persistent"] else n_lanes
     return {
         "traced_mrays_per_s": round(total_segments / dt / 1e6, 3),
         "camera_mrays_per_s": round(n * spp / dt / 1e6, 3),

@@ -42,8 +42,9 @@ def main(argv=None) -> None:
         "--memory-profile",
         default=None,
         metavar="PATH",
-        help="write a pprof device-memory profile after the render "
-        "(heap-profile analog of the reference's main.go:70-73)",
+        help="write a JSON device-memory report (live buffers by shape) "
+        "after the render — heap-profile analog of the reference's "
+        "main.go:70-73 (pprof capture aborts under the PJRT tunnel)",
     )
     ap.add_argument(
         "--checkpoint",

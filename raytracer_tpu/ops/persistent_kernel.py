@@ -644,9 +644,10 @@ def pack_persistent_tables(scene, qd):
     """Pack intersect tables (S,4)/(Q,12) + the lane-replicated resolve table
     (N_RES * n_chunks, 128).
 
-    Requires every texture referenced to be SOLID or CHECKER (the caller
-    gates on scene.has_image / scene.has_noise). `qd` is
-    geometry.intersect.quad_derived(scene).
+    Textures may be SOLID, CHECKER, or procedural NOISE (encoded as a
+    negative turbulence scale in the is<0 slot); image textures are the one
+    unsupported kind (the caller gates on scene_supports_persistent). `qd`
+    is geometry.intersect.quad_derived(scene).
     """
     c2r2 = jnp.sum(scene.sph_center * scene.sph_center, -1) - scene.sph_radius**2
     c2r2 = jnp.where(scene.sph_radius == 0.0, 1e30, c2r2)

@@ -256,19 +256,26 @@ def render_image_sharded(
 
     if regenerative:
         from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+        from raytracer_tpu.render.driver import LARGE_SCENE_PRIMS
 
         on_tpu = jax.default_backend() == "tpu"
-        use_persistent = on_tpu and scene_supports_persistent(scene)
+        # Past LARGE_SCENE_PRIMS the in-kernel paths stop compiling/paying
+        # (driver.py's large-scene note); the sharded path falls back to the
+        # Pallas-intersect + XLA-shade wavefront, which is size-robust. (The
+        # cluster-culled camera intersector is single-device-only for now.)
+        large = scene.num_spheres + scene.num_quads > LARGE_SCENE_PRIMS
+        use_persistent = on_tpu and not large and scene_supports_persistent(scene)
         n_dev = mesh.devices.size
         n = w * h
         wavefront = int(
             min(max(n, 1 << 16), max(target_rays_per_pass // n_dev, 1 << 16))
         )
         # Chunk the spp budget so each device's retirement-log slot count
-        # stays within its VMEM/HBM budget (same rule as render_image; the
-        # per-device share of a chunk is spp_chunk / n_dev).
-        max_slots = 40 if use_persistent else 64
-        cap = max(1, min(spp, (max_slots * wavefront * n_dev) // max(1, n)))
+        # stays within its VMEM/HBM budget (same rule as render_image). A
+        # device's share of a chunk is ceil(spp_chunk / n_dev), so bound that
+        # ceil: spp_chunk <= n_dev * floor(max_slots * wavefront / n).
+        max_slots = (40 if scene.has_noise else 64) if use_persistent else 64
+        cap = max(1, min(spp, n_dev * ((max_slots * wavefront) // max(1, n))))
         spp_chunk = next((k for k in range(cap, 0, -1) if spp % k == 0), cap)
         acc = jnp.zeros((h, w, 3), jnp.float32)
         done = 0
@@ -287,7 +294,7 @@ def render_image_sharded(
                 max_depth=settings.max_depth,
                 sky_gradient=settings.sky_gradient,
                 use_pallas=on_tpu,
-                use_megakernel=on_tpu and not use_persistent,
+                use_megakernel=on_tpu and not use_persistent and not large,
                 use_persistent=use_persistent,
                 rr_max_q=0.75 if use_persistent else 0.95,
             )

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from raytracer_tpu.core.camera import Camera, RenderSettings
 from raytracer_tpu.geometry.scene import Scene
-from raytracer_tpu.render.driver import render_regen
+from raytracer_tpu.render.driver import LARGE_SCENE_PRIMS, render_regen
 
 CHECKPOINT_VERSION = 2
 
@@ -152,13 +152,22 @@ def render_with_checkpoints(
                 max_depth=settings.max_depth,
                 sky_gradient=settings.sky_gradient,
                 use_pallas=jax.default_backend() == "tpu",
-                use_megakernel=jax.default_backend() == "tpu",
+                # Past LARGE_SCENE_PRIMS the megakernel's in-kernel dense
+                # loop crawls (driver.py's large-scene note); fall back to
+                # the size-robust Pallas-intersect + XLA-shade wavefront.
+                use_megakernel=jax.default_backend() == "tpu"
+                and scene.num_spheres + scene.num_quads <= LARGE_SCENE_PRIMS,
             )
             acc = acc + out * jnp.float32(step_spp)
             done += step_spp
             chunk_idx += 1
             chunks_run += 1
             if saver is not None:
+                # Backpressure: a newer checkpoint supersedes a queued older
+                # one — cancel it if it has not started, so at most one save
+                # runs and one waits (bounds pinned accumulator copies).
+                if save_futures and save_futures[-1].cancel():
+                    save_futures.pop()
                 save_futures.append(
                     saver.submit(
                         save_checkpoint,
@@ -178,6 +187,7 @@ def render_with_checkpoints(
         if saver is not None:
             saver.shutdown(wait=True)
     for f in save_futures:
-        f.result()  # surface any save error
+        if not f.cancelled():
+            f.result()  # surface any save error
 
     return acc / jnp.float32(max(done, 1))

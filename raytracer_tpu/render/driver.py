@@ -347,9 +347,10 @@ def render_image(
             n_lanes, num_slots, _ = strided_schedule(n, spp_chunk, wavefront)
             # Occupancy basis: the persistent kernel counts iterations per
             # (rows x 128)-lane tile (tiles drain independently); the
-            # XLA-loop paths count whole-wavefront iterations.
+            # XLA-loop paths count whole-wavefront iterations over the
+            # ACTUAL padded lane count, not the requested wavefront.
             metrics.wavefront_lanes = (
-                DEFAULT_ROWS * LANES if use_persistent else wavefront
+                DEFAULT_ROWS * LANES if use_persistent else n_lanes
             )
             metrics.retirement_log_mb = 3 * num_slots * n_lanes * 4 / 2**20
         acc = jnp.zeros((h, w, 3), jnp.float32)

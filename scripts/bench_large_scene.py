@@ -10,35 +10,15 @@ import sys
 import time
 
 import numpy as np
-import jax
 
-from raytracer_tpu.core.camera import make_camera
-from raytracer_tpu.geometry.scene import SceneBuilder
 from raytracer_tpu.render.driver import render_image
+from raytracer_tpu.scenes.registry import get_scene
 from raytracer_tpu.utils.metrics import RenderMetrics
-
-
-def big_scene(n=10000, seed=1):
-    rng = np.random.default_rng(seed)
-    b = SceneBuilder(0)
-    b.add_sphere((0, -1000, 0), 1000, b.lambertian((0.5, 0.5, 0.5)))
-    side = int(np.sqrt(n))
-    for i in range(side):
-        for j in range(side):
-            c = (i - side / 2 + 0.9 * rng.random(), 0.2, j - side / 2 + 0.9 * rng.random())
-            b.add_sphere(c, 0.2, b.lambertian(tuple(rng.random(3) * rng.random(3))))
-    return b.build()
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
-    scene = big_scene(n)
-    cam, settings = make_camera(
-        16 / 9, 400, samples_per_pixel=32, max_depth=8,
-        look_from=(13, 6, 3), look_at=(0, 0, 0), fov_degrees=40,
-        background=(0.7, 0.8, 1.0),
-    )
-    settings = settings._replace(sky_gradient=True)
+    scene, cam, settings = get_scene("rand_spheres_large", n_spheres=n)
     img = render_image(scene, cam, settings, seed=0)  # warm up compile
     _ = float(np.asarray(img).sum())
     m = RenderMetrics(total_spp=32, pixels=400 * 225)
