@@ -10,11 +10,19 @@ corners, camera) flow through the whole wavefront via:
 * the checkpointed `lax.scan` bounce loop (integrator/wavefront.py);
 * straight-through discrete events: hit-selection (argmin), the dielectric
   reflect/refract coin and the metal absorb test keep their sampled branch,
-  and gradients flow through the selected branch's smooth math;
+  and gradients flow through the selected branch's smooth math; the coin
+  additionally carries a likelihood-ratio factor P/sg(P) (== 1.0 forward)
+  so d/d_ior includes the branch-probability term (materials.py);
 * silhouette (visibility) discontinuities: the boundary term that interior
   autodiff cannot see is added by edge sampling (diff/boundary.py) when
   `boundary=True` — analytic sphere contours + quad edges, primary
   visibility.
+
+Known limits: SECONDARY discontinuities are not handled — shadow edges cast
+on other objects, silhouettes seen in mirrors, refracted rays sweeping
+across object horizons (d/d_ior behind glass), and the TIR-cone crossing.
+FD measures those; the estimators here do not. They require path-space
+edge sampling or warped-area reparameterization.
 
 For multi-device runs the loss is computed under sharding constraints: rays
 sharded, scene parameters replicated — XLA inserts the `psum` that all-reduces

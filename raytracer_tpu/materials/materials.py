@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from raytracer_tpu.core import vecmath as vm
@@ -144,6 +145,16 @@ def resolve_and_shade(
     use_reflect = cannot_refract | (reflect_prob > uniforms[:, 2])
     refracted = vm.refract(unit_dir, normal, eta)
     diel_dir = jnp.where(use_reflect[..., None], reflected, refracted)
+    # Likelihood-ratio factor for the stochastic reflect/refract coin:
+    # P(branch)/sg(P(branch)) == 1.0 in the forward pass, but its gradient
+    # carries dlogP/d_ior — the branch-probability derivative that plain
+    # straight-through misses (FD measures it; without this d/d_ior is
+    # biased). TIR is deterministic (P == 1): factor stays exactly 1.
+    p_clip = jnp.clip(reflect_prob, 1e-4, 1.0 - 1e-4)
+    p_branch = jnp.where(use_reflect, p_clip, 1.0 - p_clip)
+    diel_lr = jnp.where(
+        cannot_refract, 1.0, p_branch / jax.lax.stop_gradient(p_branch)
+    )[..., None]
 
     is_lamb = (mtype == LAMBERTIAN)[..., None]
     is_metal = (mtype == METAL)[..., None]
@@ -152,7 +163,7 @@ def resolve_and_shade(
     attenuation = jnp.where(
         is_lamb | is_metal,
         tex_color,
-        jnp.where(is_diel, jnp.ones((n, 3), ray_dir.dtype), 0.0),
+        jnp.where(is_diel, jnp.broadcast_to(diel_lr, (n, 3)).astype(ray_dir.dtype), 0.0),
     )
     scattered = jnp.where(
         mtype == METAL,
@@ -261,6 +272,16 @@ def shade(
     use_reflect = cannot_refract | (reflect_prob > uniforms[:, 2])
     refracted = vm.refract(unit_dir, normal, eta)
     diel_dir = jnp.where(use_reflect[..., None], reflected, refracted)
+    # Likelihood-ratio factor for the stochastic reflect/refract coin:
+    # P(branch)/sg(P(branch)) == 1.0 in the forward pass, but its gradient
+    # carries dlogP/d_ior — the branch-probability derivative that plain
+    # straight-through misses (FD measures it; without this d/d_ior is
+    # biased). TIR is deterministic (P == 1): factor stays exactly 1.
+    p_clip = jnp.clip(reflect_prob, 1e-4, 1.0 - 1e-4)
+    p_branch = jnp.where(use_reflect, p_clip, 1.0 - p_clip)
+    diel_lr = jnp.where(
+        cannot_refract, 1.0, p_branch / jax.lax.stop_gradient(p_branch)
+    )[..., None]
 
     # ---- select per material type ------------------------------------------
     is_lamb = (mtype == LAMBERTIAN)[..., None]
@@ -274,7 +295,7 @@ def shade(
         is_lamb | is_metal,
         tex_color,  # Lambertian albedo texture (materials.go:40); metal flat
         # albedo rides the same packed color columns (materials.go:70)
-        jnp.where(is_diel, jnp.ones((n, 3), ray_dir.dtype), 0.0),
+        jnp.where(is_diel, jnp.broadcast_to(diel_lr, (n, 3)).astype(ray_dir.dtype), 0.0),
     )
     scattered = jnp.where(
         mtype == METAL,

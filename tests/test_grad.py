@@ -181,3 +181,82 @@ def test_inverse_rendering_recovers_albedo():
     assert losses[-1] < losses[0] * 0.25, losses[::10]
     got = np.asarray(params["tex_c0"][0])
     np.testing.assert_allclose(got, [0.6, 0.3, 0.2], atol=0.1)
+
+
+def test_dielectric_coin_likelihood_ratio_weights():
+    """The stochastic reflect/refract coin carries a likelihood-ratio factor
+    P/sg(P): exactly 1.0 in the forward pass, and its derivative is d log P —
+    the branch-probability term straight-through alone misses. Checked
+    analytically: at near-normal incidence on glass (ior n), P = R0 =
+    ((1-n)/(1+n))^2 and dR0/dn = -4(1-n)/(1+n)^3, so the weight derivative is
+    dR0/R0 for reflect lanes and -dR0/(1-R0) for refract lanes."""
+    from raytracer_tpu.geometry.intersect import intersect_scene
+    from raytracer_tpu.materials.materials import shade
+    from raytracer_tpu.materials.packed import primitive_shading_table
+    from raytracer_tpu.geometry.scene import SceneBuilder
+
+    b = SceneBuilder(0)
+    b.add_quad((-2.0, -2.0, -3.0), (4.0, 0, 0), (0, 4.0, 0), b.dielectric(1.5))
+    scene = b.build()
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 8, jnp.float32)
+    # Coin uniforms straddling P(reflect) = R0 = 0.04.
+    coin = jnp.asarray([0.01, 0.02, 0.03, 0.5, 0.9, 0.95, 0.99, 0.5])
+    u = jnp.stack([jnp.full((8,), 0.5), jnp.full((8,), 0.5), coin], axis=1)
+
+    def f(ior):
+        sc = scene.replace(mat_ior=scene.mat_ior.at[0].set(ior))
+        hit = intersect_scene(sc, o, d)
+        scat = shade(sc, hit, d, u, packed=primitive_shading_table(sc))
+        return scat.attenuation[:, 0]
+
+    val, jvp = jax.jvp(f, (jnp.float32(1.5),), (jnp.float32(1.0),))
+    np.testing.assert_allclose(np.asarray(val), 1.0, atol=1e-6)
+    n = 1.5
+    r0 = ((1 - n) / (1 + n)) ** 2
+    dr0 = -4 * (1 - n) / (1 + n) ** 3
+    want = np.where(np.asarray(coin) < r0, dr0 / r0, -dr0 / (1 - r0))
+    np.testing.assert_allclose(np.asarray(jvp), want, rtol=1e-4)
+
+
+def test_fd_matches_ior_gradient_smooth_scene():
+    """End-to-end d/d_ior parity on a scene smooth in ior: a tilted glass
+    quad under the sky only — radiance = P(ior)·sky(reflect) +
+    (1-P)·sky(refract(ior)), so the likelihood-ratio coin factor plus the
+    smooth refraction derivative are the whole gradient. (With geometry
+    behind the glass, FD additionally measures refracted rays sweeping
+    across object horizons — a secondary discontinuity outside the
+    primary-visibility edge sampler's scope, documented in diff/grad.py.)"""
+    b = SceneBuilder(0)
+    b.add_quad((-3.0, -3.0, -3.0), (6.0, 0, 0), (0.0, 5.4, -1.8), b.dielectric(1.5))
+    scene = b.build()
+    cam, _ = make_camera(1.0, 24, fov_degrees=40, look_from=(0, 0, 0),
+                         look_at=(0, 0, -3))
+    params, rebuild = split_scene(scene, trainable=("mat_ior",))
+    wfix = jax.random.uniform(jax.random.PRNGKey(5), (24, 24, 3))
+    kw = dict(width=24, height=24, samples_per_pass=64, max_depth=4,
+              sky_gradient=True)
+    nkeys = 16
+
+    @jax.jit
+    def loss_k(p, key):
+        return jnp.mean(render_linear_diff(rebuild(p), cam, key, **kw) * wfix)
+
+    def loss_avg(p):
+        return float(np.mean(
+            [float(loss_k(p, jax.random.PRNGKey(7000 + i))) for i in range(nkeys)]
+        ))
+
+    @jax.jit
+    def grad_k(p, key):
+        return jax.grad(lambda pp: loss_k(pp, key))(p)
+
+    gs = [np.asarray(grad_k(params, jax.random.PRNGKey(7000 + i))["mat_ior"])
+          for i in range(nkeys)]
+    ad = float(np.mean(gs, axis=0)[0])
+    eps = 2e-2
+    e = np.zeros_like(np.asarray(params["mat_ior"])); e[0] = eps
+    pp = dict(params); pp["mat_ior"] = params["mat_ior"] + jnp.asarray(e)
+    pm = dict(params); pm["mat_ior"] = params["mat_ior"] - jnp.asarray(e)
+    fd = (loss_avg(pp) - loss_avg(pm)) / (2 * eps)
+    assert abs(ad - fd) < 0.25 * abs(fd) + 5e-4, (fd, ad)
