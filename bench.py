@@ -140,6 +140,11 @@ def main() -> None:
             detail[extra] = _measure(
                 sc, cm, st, spp=500, wavefront=_wavefront_for(500, sc), repeats=repeats
             )
+        # Cornell box at its reference config (600x600 @ 200 spp,
+        # main.go:194-225): quad-only geometry, emissive area light.
+        sc, cm, st = get_scene("cornell")
+        wf = int(min(max(-(-(st.width * st.height * 200) // 64), 1 << 16), 1 << 21))
+        detail["cornell"] = _measure(sc, cm, st, spp=200, wavefront=wf, repeats=repeats)
 
     print(
         json.dumps(
