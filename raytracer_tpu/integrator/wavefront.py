@@ -141,6 +141,7 @@ def trace(
     uniform_seq=None,
     intersect_fn=None,
     first_bounce_intersect_fn=None,
+    fixed_trip_count: bool = False,
 ):
     """Trace a batch of rays to completion; returns radiance (N, 3)
     (or (radiance, traced_segment_count) with return_stats=True).
@@ -190,6 +191,12 @@ def trace(
             return jax.checkpoint(step)(state), None
 
         final, _ = jax.lax.scan(scan_body, init, None, length=max_depth)
+    elif fixed_trip_count:
+        # Exactly max_depth iterations, no data-dependent early exit: needed
+        # when per-device Pallas-call counts must match across a shard_map
+        # (interpreter mode barriers every call across devices; a device
+        # whose rays die early would make fewer calls and deadlock the rest).
+        final = jax.lax.fori_loop(0, max_depth, lambda _, s: step(s), init)
     else:
         final = jax.lax.while_loop(
             lambda s: (s.bounce < max_depth) & jnp.any(s.alive),

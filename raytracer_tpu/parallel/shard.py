@@ -235,6 +235,156 @@ def render_regen_sharded(
     return fb
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "width", "height", "k", "per_dev", "max_depth", "sky_gradient"
+    ),
+)
+def _large_scene_pass_sharded(
+    scene: Scene,
+    tables,
+    cam: Camera,
+    key,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    k: int,
+    per_dev: int,
+    max_depth: int,
+    sky_gradient: bool,
+):
+    """One sharded pass of the large-scene renderer (the multi-device analog
+    of render/driver._large_scene_pass): the pass's k*n camera rays split
+    into contiguous per-device blocks — each block stays pixel-ordered, so
+    the cluster-culled camera intersector keeps its coherence win on every
+    device — and bounce rays stay device-local on the dense Pallas kernel.
+    Rays never migrate; the only collective is the segment psum."""
+    from raytracer_tpu.geometry.intersect import (
+        intersect_scene_culled,
+        intersect_scene_pallas_tables,
+    )
+
+    n = width * height
+    n_dev = mesh.devices.size
+    frame = camera_frame(cam, width, height)
+    n_pad = per_dev * n_dev
+    ray = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
+    pix = jnp.where(ray < k * n, ray % n, -1)  # -1 = padding lane
+
+    def local(pix_s, key):
+        dev = jax.lax.axis_index(TILE_AXIS) * mesh.shape[SAMPLE_AXIS] + jax.lax.axis_index(
+            SAMPLE_AXIS
+        )
+        key_cam, key_trace = jax.random.split(jax.random.fold_in(key, dev))
+        pix_l = pix_s[0]
+        valid = pix_l >= 0
+        uni = jax.random.uniform(key_cam, (per_dev, 4), jnp.float32)
+        px = jnp.where(valid, pix_l % width, 0)
+        py = jnp.where(valid, pix_l // width, 0)
+        o, d = camera_rays(frame, px, py, uni)
+        o = jnp.where(valid[:, None], o, jnp.float32(1e7))
+        d = jnp.where(valid[:, None], d, jnp.float32(1.0))
+        radiance, segs = trace(
+            scene,
+            o,
+            d,
+            key_trace,
+            cam.background,
+            max_depth=max_depth,
+            sky_gradient=sky_gradient,
+            return_stats=True,
+            # Same Pallas-call count on every device (see trace's note): a
+            # device whose rays all die early must still step to max_depth.
+            fixed_trip_count=True,
+            intersect_fn=lambda sc, oo, dd: intersect_scene_pallas_tables(
+                sc, tables, oo, dd
+            ),
+            first_bounce_intersect_fn=lambda sc, oo, dd: intersect_scene_culled(
+                sc, tables, oo, dd
+            ),
+        )
+        radiance = jnp.where(valid[:, None], radiance, 0.0)
+        # No collective at all: rays are disjoint, so the framebuffer
+        # reassembles by index and segment counts sum on the host (a psum
+        # here also deadlocks the CPU in-process communicator under Pallas
+        # interpreter mode at 8 devices).
+        return radiance[None], segs[None]
+
+    # Rays shard as (n_dev, per_dev) blocks over the flattened mesh so each
+    # device sees one contiguous, pixel-coherent span.
+    # Outputs stay fully sharded; the caller assembles on the host. Keeping
+    # even the k-sample reduction out of the jitted program means this pass
+    # contains ZERO cross-device ops (and a post-shard_map reduce over the
+    # sharded axis deadlocks the CPU in-process rendezvous under Pallas
+    # interpreter mode: waiting device threads starve the serialized
+    # interpret callbacks).
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P((TILE_AXIS, SAMPLE_AXIS)), P()),
+        out_specs=(
+            P((TILE_AXIS, SAMPLE_AXIS)),
+            P((TILE_AXIS, SAMPLE_AXIS)),
+        ),
+        check_vma=False,
+    )(pix.reshape(n_dev, per_dev), key)
+
+
+def render_large_scene_sharded(
+    scene: Scene,
+    cam: Camera,
+    settings: RenderSettings,
+    mesh: Mesh,
+    *,
+    seed: int = 0,
+    progress: bool = False,
+) -> jnp.ndarray:
+    """Sharded pass loop for scenes past LARGE_SCENE_PRIMS: the multi-device
+    version of render/driver._render_large_scene (BVH-cluster culled camera
+    rays + dense Pallas bounces on every device)."""
+    from raytracer_tpu.geometry.intersect import build_large_scene_tables
+    from raytracer_tpu.ops.culled_kernel import CULL_ROWS
+    from raytracer_tpu.ops.intersect_kernel import LANES
+    from raytracer_tpu.render.driver import samples_per_pass_for
+
+    w, h, spp = settings.width, settings.height, settings.samples_per_pixel
+    n = w * h
+    tables = build_large_scene_tables(scene)  # host-side BVH clustering, once
+    k = samples_per_pass_for(spp, n)
+    passes = spp // k
+    tile = CULL_ROWS * LANES
+    n_dev = mesh.devices.size
+    per_dev = _pad_to(-(-(k * n) // n_dev), tile)
+    import numpy as np
+
+    key = jax.random.PRNGKey(seed)
+    n_pad = per_dev * n_dev
+    acc = np.zeros((n, 3), np.float32)
+    for p in range(passes):
+        radiance, _segs = _large_scene_pass_sharded(
+            scene,
+            tables,
+            cam,
+            jax.random.fold_in(key, p),
+            mesh=mesh,
+            width=w,
+            height=h,
+            k=k,
+            per_dev=per_dev,
+            max_depth=settings.max_depth,
+            sky_gradient=settings.sky_gradient,
+        )
+        # Host-side assembly: fetch the disjoint per-device blocks and fold
+        # the k sample layers (device->host anyway for image output).
+        rad = np.asarray(radiance).reshape(n_pad, 3)[: k * n]
+        acc += rad.reshape(k, n, 3).sum(axis=0)
+        if progress:
+            print(f"pass {p + 1}/{passes}", flush=True)
+    return jnp.asarray(acc.reshape(h, w, 3) / np.float32(spp))
+
+
 def render_image_sharded(
     scene: Scene,
     cam: Camera,
@@ -264,6 +414,8 @@ def render_image_sharded(
         # Pallas-intersect + XLA-shade wavefront, which is size-robust. (The
         # cluster-culled camera intersector is single-device-only for now.)
         large = scene.num_spheres + scene.num_quads > LARGE_SCENE_PRIMS
+        if large and on_tpu:
+            return render_large_scene_sharded(scene, cam, settings, mesh, seed=seed)
         use_persistent = on_tpu and not large and scene_supports_persistent(scene)
         n_dev = mesh.devices.size
         n = w * h

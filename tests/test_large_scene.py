@@ -88,3 +88,28 @@ def test_render_image_large_scene_switch(monkeypatch):
     # Monte-Carlo agreement: channel means within a few std errors.
     np.testing.assert_allclose(large.mean((0, 1)), base.mean((0, 1)), rtol=0.05, atol=0.01)
     assert abs(float(large.std()) - float(base.std())) < 0.05
+
+
+def test_render_large_scene_sharded_matches_baseline():
+    """The sharded large-scene path (contiguous pixel-coherent ray blocks per
+    device, culled camera intersector + dense bounces, one segment psum)
+    matches the baseline renderer statistically on a 2-device mesh."""
+    from raytracer_tpu.parallel.mesh import make_mesh
+    from raytracer_tpu.parallel.shard import render_large_scene_sharded
+    from raytracer_tpu.render import driver
+
+    scene = _scene()
+    cam, settings = make_camera(
+        1.0, 24, samples_per_pixel=32, max_depth=6, background=(0.3, 0.4, 0.5),
+        look_from=(0, 0, 14), look_at=(0, 0, 0), fov_degrees=50,
+    )
+    mesh = make_mesh(2)
+    with pltpu.force_tpu_interpret_mode():
+        img_s = np.asarray(
+            render_large_scene_sharded(scene, cam, settings, mesh, seed=0)
+        )
+    base = np.asarray(
+        driver.render_image(scene, cam, settings, seed=1, regenerative=False)
+    )
+    np.testing.assert_allclose(img_s.mean((0, 1)), base.mean((0, 1)), rtol=0.05, atol=0.01)
+    assert abs(float(img_s.std()) - float(base.std())) < 0.05
