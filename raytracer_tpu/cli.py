@@ -51,6 +51,19 @@ def main(argv=None) -> None:
         default=None,
         help="checkpoint file; resumes from it if present (fail-stop + rerun)",
     )
+    ap.add_argument(
+        "--shard",
+        action="store_true",
+        help="render over ALL visible devices ((tiles, samples) mesh via "
+        "shard_map; see parallel/shard.py) — for multi-chip hosts",
+    )
+    ap.add_argument(
+        "--sample-parallel",
+        type=int,
+        default=1,
+        help="with --shard: devices cooperating on the same pixels "
+        "(must divide the device count)",
+    )
     args = ap.parse_args(argv)
 
     overrides = {}
@@ -92,6 +105,18 @@ def main(argv=None) -> None:
                 progress=True,
             )
             img = np.asarray(_jax.device_get(to_u8(linear)))
+        elif args.shard:
+            import numpy as np
+
+            from raytracer_tpu.parallel.mesh import make_mesh
+            from raytracer_tpu.parallel.shard import render_image_sharded
+            from raytracer_tpu.render.postprocess import to_u8
+
+            mesh = make_mesh(sample_parallel=args.sample_parallel)
+            linear = render_image_sharded(
+                scene, cam, settings, mesh, seed=args.seed
+            )
+            img = np.asarray(jax.device_get(to_u8(linear)))
         else:
             img = render_scene(
                 scene, cam, settings, seed=args.seed, progress=True, metrics=metrics
