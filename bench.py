@@ -115,11 +115,12 @@ def main() -> None:
     # tiles drain at the pace of their slowest lane, so more samples per lane
     # averages the path-length tail away; K=64 is the VMEM ceiling for the
     # double-buffered retirement log.
-    def _wavefront_for(spp_, scn):
+    def _wavefront_for(spp_, scn, st_):
         k = 40 if scn.has_noise else 64
-        return int(min(max(-(-(w * h * spp_) // k), 1 << 16), 1 << 21))
+        n_ = st_.width * st_.height
+        return int(min(max(-(-(n_ * spp_) // k), 1 << 16), 1 << 21))
 
-    wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", "0")) or _wavefront_for(spp, scene)
+    wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", "0")) or _wavefront_for(spp, scene, settings)
     main_run = _measure(scene, cam, settings, spp=spp, wavefront=wavefront, repeats=repeats)
 
     detail = dict(main_run)
@@ -127,7 +128,7 @@ def main() -> None:
     detail["device"] = str(jax.devices()[0])
     if os.environ.get("RT_BENCH_LOW_SPP", "1") == "1" and spp != 64:
         detail["low_spp"] = _measure(
-            scene, cam, settings, spp=64, wavefront=_wavefront_for(64, scene), repeats=repeats
+            scene, cam, settings, spp=64, wavefront=_wavefront_for(64, scene, settings), repeats=repeats
         )
     # Texture-heavy scenes (VERDICT round-1 weak #7): perlin marble and the
     # emissive simple_light on the persistent kernel (hash-procedural noise,
@@ -138,13 +139,14 @@ def main() -> None:
         for extra in ("perlin", "simple_light", "earth"):
             sc, cm, st = get_scene(extra, width=width, spp=500)
             detail[extra] = _measure(
-                sc, cm, st, spp=500, wavefront=_wavefront_for(500, sc), repeats=repeats
+                sc, cm, st, spp=500, wavefront=_wavefront_for(500, sc, st), repeats=repeats
             )
         # Cornell box at its reference config (600x600 @ 200 spp,
         # main.go:194-225): quad-only geometry, emissive area light.
         sc, cm, st = get_scene("cornell")
-        wf = int(min(max(-(-(st.width * st.height * 200) // 64), 1 << 16), 1 << 21))
-        detail["cornell"] = _measure(sc, cm, st, spp=200, wavefront=wf, repeats=repeats)
+        detail["cornell"] = _measure(
+            sc, cm, st, spp=200, wavefront=_wavefront_for(200, sc, st), repeats=repeats
+        )
 
     print(
         json.dumps(

@@ -65,6 +65,11 @@ def main(argv=None) -> None:
         "(must divide the device count)",
     )
     args = ap.parse_args(argv)
+    if args.shard and args.checkpoint:
+        ap.error("--shard and --checkpoint are mutually exclusive (the "
+                 "checkpointed renderer is single-device)")
+    if args.sample_parallel != 1 and not args.shard:
+        ap.error("--sample-parallel requires --shard")
 
     overrides = {}
     if args.width is not None:

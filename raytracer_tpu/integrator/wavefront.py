@@ -192,11 +192,13 @@ def trace(
 
         final, _ = jax.lax.scan(scan_body, init, None, length=max_depth)
     elif fixed_trip_count:
-        # Exactly max_depth iterations, no data-dependent early exit: needed
-        # when per-device Pallas-call counts must match across a shard_map
-        # (interpreter mode barriers every call across devices; a device
-        # whose rays die early would make fewer calls and deadlock the rest).
-        final = jax.lax.fori_loop(0, max_depth, lambda _, s: step(s), init)
+        # No data-dependent early exit: needed when per-device Pallas-call
+        # counts must match across a shard_map (interpreter mode barriers
+        # every call across devices; a device whose rays die early would
+        # make fewer calls and deadlock the rest). Total segments must equal
+        # the while_loop's max_depth — a peeled first bounce already counts.
+        steps = max_depth - (1 if first_bounce_intersect_fn is not None else 0)
+        final = jax.lax.fori_loop(0, steps, lambda _, s: step(s), init)
     else:
         final = jax.lax.while_loop(
             lambda s: (s.bounce < max_depth) & jnp.any(s.alive),

@@ -46,6 +46,19 @@ class BounceResult(NamedTuple):
     emitted: jnp.ndarray  # (N, 3)
 
 
+def _dielectric_lr(reflect_prob, use_reflect, cannot_refract):
+    """Likelihood-ratio factor for the stochastic reflect/refract coin:
+    P(branch)/sg(P(branch)) == 1.0 in the forward pass, but its gradient
+    carries dlogP/d_ior — the branch-probability derivative that plain
+    straight-through misses (FD measures it; without this d/d_ior is
+    biased). TIR is deterministic (P == 1): factor stays exactly 1."""
+    p_clip = jnp.clip(reflect_prob, 1e-4, 1.0 - 1e-4)
+    p_branch = jnp.where(use_reflect, p_clip, 1.0 - p_clip)
+    return jnp.where(
+        cannot_refract, 1.0, p_branch / jax.lax.stop_gradient(p_branch)
+    )[..., None]
+
+
 def resolve_and_shade(
     scene: Scene, table, t, prim, origin, ray_dir, uniforms
 ) -> BounceResult:
@@ -145,16 +158,7 @@ def resolve_and_shade(
     use_reflect = cannot_refract | (reflect_prob > uniforms[:, 2])
     refracted = vm.refract(unit_dir, normal, eta)
     diel_dir = jnp.where(use_reflect[..., None], reflected, refracted)
-    # Likelihood-ratio factor for the stochastic reflect/refract coin:
-    # P(branch)/sg(P(branch)) == 1.0 in the forward pass, but its gradient
-    # carries dlogP/d_ior — the branch-probability derivative that plain
-    # straight-through misses (FD measures it; without this d/d_ior is
-    # biased). TIR is deterministic (P == 1): factor stays exactly 1.
-    p_clip = jnp.clip(reflect_prob, 1e-4, 1.0 - 1e-4)
-    p_branch = jnp.where(use_reflect, p_clip, 1.0 - p_clip)
-    diel_lr = jnp.where(
-        cannot_refract, 1.0, p_branch / jax.lax.stop_gradient(p_branch)
-    )[..., None]
+    diel_lr = _dielectric_lr(reflect_prob, use_reflect, cannot_refract)
 
     is_lamb = (mtype == LAMBERTIAN)[..., None]
     is_metal = (mtype == METAL)[..., None]
@@ -272,16 +276,7 @@ def shade(
     use_reflect = cannot_refract | (reflect_prob > uniforms[:, 2])
     refracted = vm.refract(unit_dir, normal, eta)
     diel_dir = jnp.where(use_reflect[..., None], reflected, refracted)
-    # Likelihood-ratio factor for the stochastic reflect/refract coin:
-    # P(branch)/sg(P(branch)) == 1.0 in the forward pass, but its gradient
-    # carries dlogP/d_ior — the branch-probability derivative that plain
-    # straight-through misses (FD measures it; without this d/d_ior is
-    # biased). TIR is deterministic (P == 1): factor stays exactly 1.
-    p_clip = jnp.clip(reflect_prob, 1e-4, 1.0 - 1e-4)
-    p_branch = jnp.where(use_reflect, p_clip, 1.0 - p_clip)
-    diel_lr = jnp.where(
-        cannot_refract, 1.0, p_branch / jax.lax.stop_gradient(p_branch)
-    )[..., None]
+    diel_lr = _dielectric_lr(reflect_prob, use_reflect, cannot_refract)
 
     # ---- select per material type ------------------------------------------
     is_lamb = (mtype == LAMBERTIAN)[..., None]

@@ -260,7 +260,8 @@ def _large_scene_pass_sharded(
     into contiguous per-device blocks — each block stays pixel-ordered, so
     the cluster-culled camera intersector keeps its coherence win on every
     device — and bounce rays stay device-local on the dense Pallas kernel.
-    Rays never migrate; the only collective is the segment psum."""
+    Rays never migrate and the pass contains NO collectives (outputs stay
+    sharded; see the note inside `local`)."""
     from raytracer_tpu.geometry.intersect import (
         intersect_scene_culled,
         intersect_scene_pallas_tables,
@@ -352,7 +353,15 @@ def render_large_scene_sharded(
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
     n = w * h
     tables = build_large_scene_tables(scene)  # host-side BVH clustering, once
-    k = samples_per_pass_for(spp, n)
+    # The ray budget per pass scales with the mesh: per-DEVICE memory is the
+    # real bound and per_dev shrinks with n_dev, so a fixed single-device
+    # target would leave the host pass loop (and its per-pass device->host
+    # fetch) unchanged as devices are added.
+    from raytracer_tpu.render.driver import DEFAULT_TARGET_RAYS_PER_PASS
+
+    k = samples_per_pass_for(
+        spp, n, DEFAULT_TARGET_RAYS_PER_PASS * mesh.devices.size
+    )
     passes = spp // k
     tile = CULL_ROWS * LANES
     n_dev = mesh.devices.size
