@@ -112,3 +112,36 @@ def test_hollow_glass_sphere_renders():
     rad = _trace(scene, o, d, background=(0.7, 0.8, 1.0), max_depth=16)
     assert np.isfinite(rad).all()
     assert 0.2 < rad.mean() < 1.2  # glass mostly transmits the sky/ground
+
+
+def test_fixed_trip_count_matches_while_loop():
+    """trace(fixed_trip_count=True) is the SAME estimator as the default
+    while_loop — identical radiance for identical keys (dead lanes don't
+    change state, so removing the early exit must not change results), with
+    and without the peeled first bounce. Guards the segment-count contract
+    (a fixed loop of max_depth steps after a peel traced one bounce too
+    many once)."""
+    from raytracer_tpu.geometry.intersect import intersect_scene
+
+    b = SceneBuilder(0)
+    b.add_sphere((0, -100.5, 0), 100.0, b.lambertian((0.5, 0.5, 0.5)))
+    b.add_sphere((0, 0.5, 0), 0.5, b.metal((0.9, 0.8, 0.7), 0.2))
+    b.add_sphere((-1.2, 0.4, 0.2), 0.4, b.dielectric(1.5))
+    scene = b.build()
+    rng = np.random.default_rng(5)
+    n = 256
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32) + [0, 1, 3])
+    d = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32) - [0, 0.3, 1])
+    key = jax.random.PRNGKey(4)
+    bg = jnp.asarray((0.7, 0.8, 1.0), jnp.float32)
+    for peel in (None, intersect_scene):
+        r_while, s_while = trace(
+            scene, o, d, key, bg, max_depth=6, return_stats=True,
+            first_bounce_intersect_fn=peel,
+        )
+        r_fixed, s_fixed = trace(
+            scene, o, d, key, bg, max_depth=6, return_stats=True,
+            first_bounce_intersect_fn=peel, fixed_trip_count=True,
+        )
+        np.testing.assert_array_equal(np.asarray(r_while), np.asarray(r_fixed))
+        assert int(s_while) == int(s_fixed), (peel, int(s_while), int(s_fixed))
