@@ -20,6 +20,13 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_stats.json")
 CFG = dict(width=96, spp=24, max_depth=10)
 SEED = 12345
 
+# Scenes deliberately without goldens: rand_spheres_large is a 10K-primitive
+# scale workload whose CPU render would dominate the suite's runtime; its
+# correctness is covered by the large-scene oracle tests
+# (tests/test_large_scene.py) and it shares every component with
+# rand_spheres, which is pinned.
+GOLDEN_EXEMPT = {"rand_spheres_large"}
+
 
 def _stats(img: np.ndarray) -> dict:
     h, w, _ = img.shape
@@ -46,11 +53,10 @@ def _load():
         return json.load(f)
 
 
-@pytest.mark.parametrize("name", sorted(SCENES))
+@pytest.mark.parametrize("name", sorted(set(SCENES) - GOLDEN_EXEMPT))
 def test_golden_stats(name):
     golden = _load()
-    if name not in golden:
-        pytest.skip(f"no golden entry for {name}")
+    assert name in golden, f"scene {name} needs a golden entry (or an exemption)"
     img = _render(name)
     got = _stats(img)
     want = golden[name]
@@ -65,7 +71,7 @@ def test_golden_stats(name):
 
 if __name__ == "__main__":
     out = {}
-    for name in sorted(SCENES):
+    for name in sorted(set(SCENES) - GOLDEN_EXEMPT):
         out[name] = _stats(_render(name))
         print(name, out[name]["mean"])
     with open(GOLDEN_PATH, "w") as f:
