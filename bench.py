@@ -37,6 +37,21 @@ except Exception:
     pass
 
 
+def _measure_with_retry(*args, retries=2, **kw):
+    """The axon tunnel's remote-compile service occasionally 500s under
+    load; one transient failure must not cost the round its benchmark
+    artifact. Retries with a short backoff, then re-raises."""
+    import time as _time
+
+    for attempt in range(retries + 1):
+        try:
+            return _measure(*args, **kw)
+        except Exception:
+            if attempt == retries:
+                raise
+            _time.sleep(20.0 * (attempt + 1))
+
+
 def _measure(scene, cam, settings, *, spp, wavefront, repeats):
     """Median traced/camera rates over `repeats` timed runs."""
     from raytracer_tpu.render.driver import render_regen
@@ -121,15 +136,19 @@ def main() -> None:
         return int(min(max(-(-(n_ * spp_) // k), 1 << 16), 1 << 21))
 
     wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", "0")) or _wavefront_for(spp, scene, settings)
-    main_run = _measure(scene, cam, settings, spp=spp, wavefront=wavefront, repeats=repeats)
+    main_run = _measure_with_retry(scene, cam, settings, spp=spp, wavefront=wavefront, repeats=repeats)
 
     detail = dict(main_run)
     detail["size"] = [w, h]
     detail["device"] = str(jax.devices()[0])
     if os.environ.get("RT_BENCH_LOW_SPP", "1") == "1" and spp != 64:
-        detail["low_spp"] = _measure(
-            scene, cam, settings, spp=64, wavefront=_wavefront_for(64, scene, settings), repeats=repeats
-        )
+        try:
+            detail["low_spp"] = _measure_with_retry(
+                scene, cam, settings, spp=64,
+                wavefront=_wavefront_for(64, scene, settings), repeats=repeats,
+            )
+        except Exception as e:  # detail point only; keep the headline alive
+            detail["low_spp"] = {"error": str(e)[:200]}
     # Texture-heavy scenes (VERDICT round-1 weak #7): perlin marble and the
     # emissive simple_light on the persistent kernel (hash-procedural noise,
     # materials/perlin_hash.py); earth (image texture) on the megakernel
@@ -138,15 +157,23 @@ def main() -> None:
     if os.environ.get("RT_BENCH_SCENES", "1") == "1":
         for extra in ("perlin", "simple_light", "earth"):
             sc, cm, st = get_scene(extra, width=width, spp=500)
-            detail[extra] = _measure(
-                sc, cm, st, spp=500, wavefront=_wavefront_for(500, sc, st), repeats=repeats
-            )
+            try:
+                detail[extra] = _measure_with_retry(
+                    sc, cm, st, spp=500,
+                    wavefront=_wavefront_for(500, sc, st), repeats=repeats,
+                )
+            except Exception as e:
+                detail[extra] = {"error": str(e)[:200]}
         # Cornell box at its reference config (600x600 @ 200 spp,
         # main.go:194-225): quad-only geometry, emissive area light.
         sc, cm, st = get_scene("cornell")
-        detail["cornell"] = _measure(
-            sc, cm, st, spp=200, wavefront=_wavefront_for(200, sc, st), repeats=repeats
-        )
+        try:
+            detail["cornell"] = _measure_with_retry(
+                sc, cm, st, spp=200,
+                wavefront=_wavefront_for(200, sc, st), repeats=repeats,
+            )
+        except Exception as e:
+            detail["cornell"] = {"error": str(e)[:200]}
 
     print(
         json.dumps(
