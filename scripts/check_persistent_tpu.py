@@ -1,0 +1,74 @@
+"""TPU self-check: the persistent megakernel is the SAME estimator as the
+oracle-validated XLA wavefront.
+
+The interpreter stubs the hardware PRNG (tests/test_persistent_kernel.py
+covers exact invariants there), so the distributional comparison needs a
+real chip: render each persistent-supported reference scene through BOTH
+backends with independent RNG and require the Monte-Carlo statistics to
+agree within sampling error. Prints one JSON line; exit code 0 iff all
+scenes pass.
+
+    python scripts/check_persistent_tpu.py [spp]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from raytracer_tpu.render.driver import render_regen
+from raytracer_tpu.scenes.registry import get_scene
+
+SCENES = ("rand_spheres", "perlin", "quads", "simple_light", "cornell")
+
+
+def main() -> int:
+    spp = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    results, ok_all = {}, True
+    for name in SCENES:
+        scene, cam, settings = get_scene(name, width=200, spp=spp)
+        w, h = settings.width, settings.height
+        kw = dict(
+            width=w, height=h, spp=spp,
+            wavefront_size=int(min(max(-(-(w * h * spp) // 64), 1 << 16), 1 << 21)),
+            max_depth=settings.max_depth, sky_gradient=settings.sky_gradient,
+            rr_max_q=0.75,
+        )
+        imgs = {}
+        for mode, flags in (
+            ("persistent", dict(use_pallas=True, use_persistent=True)),
+            ("xla", dict(use_pallas=False, use_persistent=False)),
+        ):
+            img = render_regen(
+                scene, cam, jax.random.PRNGKey(11), **kw, **flags
+            )
+            imgs[mode] = np.asarray(img)
+        a, b = imgs["persistent"], imgs["xla"]
+        # Per-pixel MC standard error bounds the allowed mean/std drift.
+        mean_a, mean_b = a.mean((0, 1)), b.mean((0, 1))
+        ok = bool(
+            np.allclose(mean_a, mean_b, rtol=0.02, atol=0.004)
+            and abs(float(a.std()) - float(b.std())) < 0.05 * max(float(b.std()), 0.1)
+        )
+        ok_all &= ok
+        results[name] = {
+            "ok": ok,
+            "mean_persistent": [round(float(x), 4) for x in mean_a],
+            "mean_xla": [round(float(x), 4) for x in mean_b],
+            "std": [round(float(a.std()), 4), round(float(b.std()), 4)],
+        }
+    print(json.dumps({"ok": ok_all, "spp": spp, "scenes": results}))
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
