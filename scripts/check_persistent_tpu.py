@@ -28,13 +28,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from raytracer_tpu.render.driver import render_regen
 from raytracer_tpu.scenes.registry import get_scene
 
-SCENES = ("rand_spheres", "perlin", "quads", "simple_light", "cornell")
+# (scene, fast-path flags): image-texture scenes run the megakernel
+# front-half, which also uses the in-kernel hardware PRNG (stubbed in the
+# interpreter), so it needs the same on-device check.
+SCENES = (
+    ("rand_spheres", dict(use_pallas=True, use_persistent=True)),
+    ("perlin", dict(use_pallas=True, use_persistent=True)),
+    ("quads", dict(use_pallas=True, use_persistent=True)),
+    ("simple_light", dict(use_pallas=True, use_persistent=True)),
+    ("cornell", dict(use_pallas=True, use_persistent=True)),
+    ("earth", dict(use_pallas=True, use_megakernel=True)),
+)
 
 
 def main() -> int:
     spp = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     results, ok_all = {}, True
-    for name in SCENES:
+    for name, fast_flags in SCENES:
         scene, cam, settings = get_scene(name, width=200, spp=spp)
         w, h = settings.width, settings.height
         kw = dict(
@@ -44,15 +54,12 @@ def main() -> int:
             rr_max_q=0.75,
         )
         imgs = {}
-        for mode, flags in (
-            ("persistent", dict(use_pallas=True, use_persistent=True)),
-            ("xla", dict(use_pallas=False, use_persistent=False)),
-        ):
+        for mode, flags in (("fast", fast_flags), ("xla", dict(use_pallas=False))):
             img = render_regen(
                 scene, cam, jax.random.PRNGKey(11), **kw, **flags
             )
             imgs[mode] = np.asarray(img)
-        a, b = imgs["persistent"], imgs["xla"]
+        a, b = imgs["fast"], imgs["xla"]
         # Per-pixel MC standard error bounds the allowed mean/std drift.
         mean_a, mean_b = a.mean((0, 1)), b.mean((0, 1))
         ok = bool(
@@ -62,7 +69,7 @@ def main() -> int:
         ok_all &= ok
         results[name] = {
             "ok": ok,
-            "mean_persistent": [round(float(x), 4) for x in mean_a],
+            "mean_fast": [round(float(x), 4) for x in mean_a],
             "mean_xla": [round(float(x), 4) for x in mean_b],
             "std": [round(float(a.std()), 4), round(float(b.std()), 4)],
         }
