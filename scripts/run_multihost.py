@@ -30,9 +30,31 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="out/multihost.png")
+    # Local validation without a pod: N CPU processes on one machine stand
+    # in for N hosts (each with --local-devices virtual chips) — the same
+    # jax.distributed + global-mesh code path as a real slice, with gloo
+    # over localhost in place of DCN.
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port for local multi-process testing")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--local-devices", type=int, default=None,
+                    help="virtual CPU devices per process (local testing)")
     args = ap.parse_args()
 
-    jax.distributed.initialize()  # no-op args on TPU pods
+    if args.coordinator is not None:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.local_devices or 4}"
+        ).strip()
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(
+            args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    else:
+        jax.distributed.initialize()  # no-op args on TPU pods
 
     from raytracer_tpu.imgio.image import write_png
     from raytracer_tpu.parallel.mesh import multihost_mesh
