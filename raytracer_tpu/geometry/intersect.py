@@ -235,8 +235,16 @@ def intersect_scene_pallas(
 ) -> HitRecord:
     """Closest hit via the fused Pallas kernel (ops/intersect_kernel.py);
     requires N % (rows*128) == 0 and a TPU backend. Same results as
-    intersect_scene (oracle-tested)."""
+    intersect_scene (oracle-tested). The kernel compiles T_MIN in as a
+    constant, so a non-default t_min is rejected rather than silently
+    ignored."""
     from raytracer_tpu.ops import intersect_kernel as ik
+
+    if t_min != ik.T_MIN:
+        raise ValueError(
+            f"intersect_scene_pallas compiles t_min={ik.T_MIN} into the "
+            f"kernel; got {t_min} (use intersect_scene for a custom t_min)"
+        )
 
     qd = quad_derived(scene)
     sph_table = ik.pack_sphere_table(scene.sph_center, scene.sph_radius)
@@ -256,6 +264,7 @@ class LargeSceneTables(NamedTuple):
     cluster_order: jnp.ndarray  # (8, G)
     sph_clustered: jnp.ndarray  # (S', 4) cluster-ordered
     orig_ids: jnp.ndarray  # (S',) i32
+    qd: object  # QuadDerived — shared by resolve_hits (built once, not per bounce)
 
 
 def build_large_scene_tables(scene: Scene, max_leaf: int = 128) -> LargeSceneTables:
@@ -273,6 +282,7 @@ def build_large_scene_tables(scene: Scene, max_leaf: int = 128) -> LargeSceneTab
         cluster_order=order,
         sph_clustered=sph_cl,
         orig_ids=orig,
+        qd=qd,
     )
 
 
@@ -297,8 +307,7 @@ def intersect_scene_culled(
         origin,
         direction,
     )
-    qd = quad_derived(scene)
-    return resolve_hits(scene, qd, origin, direction, t, prim)
+    return resolve_hits(scene, tables.qd, origin, direction, t, prim)
 
 
 def intersect_scene_pallas_tables(
@@ -309,8 +318,7 @@ def intersect_scene_pallas_tables(
     from raytracer_tpu.ops import intersect_kernel as ik
 
     t, prim = ik.intersect_pallas(tables.sph_table, tables.quad_table, origin, direction)
-    qd = quad_derived(scene)
-    return resolve_hits(scene, qd, origin, direction, t, prim)
+    return resolve_hits(scene, tables.qd, origin, direction, t, prim)
 
 
 def closest_hit_t_prim(scene: Scene, origin, direction, t_min: float = DEFAULT_T_MIN):

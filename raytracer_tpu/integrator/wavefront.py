@@ -177,8 +177,9 @@ def trace(
         uniform_seq=uniform_seq, intersect_fn=intersect_fn,
     )
 
+    assert not (differentiable and (intersect_fn or first_bounce_intersect_fn)), \
+        "Pallas intersector overrides have no VJP; use the default backend"
     if first_bounce_intersect_fn is not None:
-        assert not differentiable, "Pallas intersectors have no VJP"
         init = _bounce_step(
             scene, packed, background, sky_gradient, init,
             uniform_seq=uniform_seq, intersect_fn=first_bounce_intersect_fn,
@@ -231,26 +232,44 @@ class RegenState(NamedTuple):
     iters: jnp.ndarray  # () i32 — loop iterations (occupancy metric)
 
 
+def regen_jump(n: int, n_pixels: int) -> int:
+    """Per-regeneration pixel advance for the strided schedule.
+
+    Default: n mod n_pixels — sample t of lane L lands on pixel
+    (L + slot*jump) mod n_pixels == t mod n_pixels, i.e. contiguous global
+    sample ids sweep pixels, giving exactly spp samples per pixel.
+
+    When n_pixels divides n (e.g. power-of-two images whose pixel count
+    divides the Pallas tile — 128x128, 64x64...), that default is ZERO and
+    would statically bind lanes to pixels (measured 2.7x more iterations:
+    lanes stuck on glass-heavy pixels straggle). In that regime ANY advance
+    keeps the schedule exact: per sample-row the active lanes [0, n) cover
+    every pixel residue n/n_pixels times, and the final partial row
+    [0, total mod n) is a multiple of n_pixels lanes (total and n are both
+    multiples of n_pixels), so per-slot shifts cannot skew per-pixel counts.
+    Pick a golden-ratio stride for decorrelation."""
+    j = n % n_pixels
+    if j == 0 and n_pixels > 1:
+        j = max(1, int(0.6180339887 * n_pixels)) % n_pixels or 1
+    return j
+
+
 def strided_schedule(n_pixels: int, spp: int, wavefront_size: int):
     """Static layout of the strided per-lane sample queue.
 
     Lane L owns sample ids L, L+N, L+2N, ... (< n_pixels*spp); returns
     (n, num_slots, jump) where `n` is the wavefront size rounded to Pallas
-    tiles (and nudged so the pixel jump is nonzero), `num_slots` the max
-    samples any lane owns, and `jump` the per-regeneration pixel advance.
-    All python ints (baked into kernels)."""
+    tiles, `num_slots` the max samples any lane owns, and `jump` the
+    per-regeneration pixel advance (regen_jump — guaranteed nonzero when a
+    lane owns more than one sample). All python ints (baked into kernels)."""
     from raytracer_tpu.ops import intersect_kernel as ik
 
     total_samples = n_pixels * spp
     tile = ik.DEFAULT_ROWS * ik.LANES
     n = min(wavefront_size, total_samples)
     n = -(-n // tile) * tile
-    # Lane count with a nonzero pixel jump (a zero jump would statically bind
-    # lanes to pixels and break load balancing).
-    if n % n_pixels == 0 and total_samples > n:
-        n += tile
     num_slots = -(-total_samples // n)  # ceil: max samples per lane
-    return n, num_slots, n % n_pixels
+    return n, num_slots, regen_jump(n, n_pixels)
 
 
 def schedule_arrays(n: int, n_pixels: int, spp: int, width: int):
@@ -465,35 +484,11 @@ def regen_core(
     n = init_remaining.shape[0]
 
     qd = quad_derived(scene)
-    resolve_table = primitive_resolve_table(scene, qd)
-    sph_table = ik.pack_sphere_table(scene.sph_center, scene.sph_radius)
-    quad_table = ik.pack_quad_table(qd)
-    if use_pallas:
-        def intersect(o, d):
-            return ik.intersect_pallas(sph_table, quad_table, o, d)
-
-    else:
-        def intersect(o, d):
-            return closest_hit_t_prim(scene, o, d)
-    dtype = jnp.float32
 
     # Strided schedule constants (python ints -> baked into the kernel).
-    jump = n % n_pixels  # pixel advance per regeneration
+    jump = regen_jump(n, n_pixels)  # pixel advance per regeneration
     jump_px = jump % width
     jump_py = jump // width
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (num_slots, 1), 0)  # (K,1)
-    epilogue = partial(
-        _regen_bounce_epilogue,
-        scene,
-        resolve_table,
-        background,
-        sky_gradient,
-        max_depth,
-        russian_roulette,
-        rr_start_depth,
-        rr_max_q,
-        slot_ids,
-    )
 
     if use_persistent:
         # Whole-loop-in-kernel path: state stays in VMEM, tiles drain
@@ -527,7 +522,37 @@ def regen_core(
             has_noise=scene.has_noise,
             **({"rows": persistent_rows} if persistent_rows else {}),
         )
-        return _fold_log(log, num_slots, n, n_pixels, segments, iters, return_stats)
+        return _fold_log(
+            log, num_slots, n, n_pixels, jump, segments, iters, return_stats
+        )
+
+    # Tables for the non-persistent paths (the persistent kernel above packs
+    # its own and uses none of these).
+    resolve_table = primitive_resolve_table(scene, qd)
+    sph_table = ik.pack_sphere_table(scene.sph_center, scene.sph_radius)
+    quad_table = ik.pack_quad_table(qd)
+    if use_pallas:
+        def intersect(o, d):
+            return ik.intersect_pallas(sph_table, quad_table, o, d)
+
+    else:
+        def intersect(o, d):
+            return closest_hit_t_prim(scene, o, d)
+    dtype = jnp.float32
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (num_slots, 1), 0)  # (K,1)
+    epilogue = partial(
+        _regen_bounce_epilogue,
+        scene,
+        resolve_table,
+        background,
+        sky_gradient,
+        max_depth,
+        russian_roulette,
+        rr_start_depth,
+        rr_max_q,
+        slot_ids,
+    )
 
     if use_megakernel:
         from raytracer_tpu.ops.wavefront_kernel import (
@@ -685,14 +710,16 @@ def regen_core(
         init,
     )
     return _fold_log(
-        final.log, num_slots, n, n_pixels, final.segments, final.iters, return_stats
+        final.log, num_slots, n, n_pixels, jump,
+        final.segments, final.iters, return_stats,
     )
 
 
-def _fold_log(log, num_slots, n, n_pixels, segments, iters, return_stats):
+def _fold_log(log, num_slots, n, n_pixels, jump, segments, iters, return_stats):
     """Fold the dense (3, K, N) retirement log into the framebuffer.
 
-    Slot k, lane L -> pixel (L + k*N) mod n_pixels: chunk-sum lanes modulo
+    Slot k, lane L -> pixel (L + k*jump) mod n_pixels (jump from regen_jump,
+    matching the kernel's per-regeneration advance): chunk-sum lanes modulo
     n_pixels, then rotate by the slot's constant offset (all dense — no
     scatter; see render_wavefront_regen docstring)."""
     chunks = -(-n // n_pixels)
@@ -701,7 +728,7 @@ def _fold_log(log, num_slots, n, n_pixels, segments, iters, return_stats):
     per_slot = log.reshape(3, num_slots, chunks, n_pixels).sum(axis=2)  # (3,K,n)
     fb = jnp.zeros((n_pixels, 3), log.dtype)
     for k in range(num_slots):
-        offset = (k * n) % n_pixels
+        offset = (k * jump) % n_pixels
         fb = fb + jnp.roll(per_slot[:, k, :].T, offset, axis=0)
     if return_stats:
         return fb, segments, iters

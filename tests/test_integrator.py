@@ -145,3 +145,37 @@ def test_fixed_trip_count_matches_while_loop():
         )
         np.testing.assert_array_equal(np.asarray(r_while), np.asarray(r_fixed))
         assert int(s_while) == int(s_fixed), (peel, int(s_while), int(s_fixed))
+
+
+def test_regen_jump_nonzero_and_exact_at_pow2_resolution():
+    """When the pixel count divides the Pallas tile (e.g. 128x128), the
+    natural jump n%n_pixels is zero, which would statically bind lanes to
+    pixels (measured 2.7x iteration cost). regen_jump must pick a nonzero
+    advance there, and the schedule/fold pair must stay EXACT: a miss-only
+    render retires exactly spp * background per pixel."""
+    from raytracer_tpu.core.camera import camera_frame, make_camera
+    from raytracer_tpu.integrator.wavefront import (
+        regen_jump,
+        render_wavefront_regen,
+        strided_schedule,
+    )
+
+    w = h = 128
+    n, _, jump = strided_schedule(w * h, 8, 65536)
+    assert n % (w * h) == 0  # the pathological regime this test pins
+    assert jump != 0
+    assert regen_jump(81920, 16384) != 0
+
+    b = SceneBuilder(0)  # empty scene: every ray misses
+    scene = b.build()
+    cam, settings = make_camera(1.0, w, samples_per_pixel=8, max_depth=4,
+                                background=(0.2, 0.5, 0.8))
+    frame = camera_frame(cam, w, h)
+    fb, segs, _ = render_wavefront_regen(
+        scene, frame, cam.background, width=w, height=h, spp=8,
+        wavefront_size=65536, key=jax.random.PRNGKey(0), max_depth=4,
+        return_stats=True,
+    )
+    assert int(segs) == w * h * 8
+    expect = np.tile(np.array([0.2, 0.5, 0.8], np.float32) * 8, (w * h, 1))
+    np.testing.assert_allclose(np.asarray(fb), expect, rtol=1e-5, atol=1e-5)
