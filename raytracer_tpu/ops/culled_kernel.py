@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from raytracer_tpu.ops import closest_hit_body as chb
+
 from raytracer_tpu.ops.intersect_kernel import (
     INF,
     LANES,
@@ -87,33 +89,12 @@ def _culled_kernel(
     )
     n_clusters = nc_ref[0]
 
-    def sphere_range(start, count, carry):
-        def body(i, c):
-            t_b, p_b = c
-            base = i * 4
-            cx = sph_ref[base]
-            cy = sph_ref[base + 1]
-            cz = sph_ref[base + 2]
-            c2r2 = sph_ref[base + 3]
-            d_dot_c = dx * cx + dy * cy + dz * cz
-            o_dot_c = ox * cx + oy * cy + oz * cz
-            half_b = d_dot_o - d_dot_c
-            cc = o_sq - 2.0 * o_dot_c + c2r2
-            disc = half_b * half_b - a * cc
-            sq = jnp.sqrt(disc)  # NaN -> rejected by comparisons
-            nhb = -half_b
-            t0s = nhb - sq
-            t1s = nhb + sq
-            t_cand = jnp.where(
-                t0s > tmin_a, t0s, jnp.where(t1s > tmin_a, t1s, INF)
-            )
-            better = t_cand < t_b
-            return (
-                jnp.where(better, t_cand, t_b),
-                jnp.where(better, i, p_b),
-            )
+    sphere_body = chb.make_sphere_body(
+        sph_ref, ox, oy, oz, dx, dy, dz, d_dot_o, o_sq, a, tmin_a
+    )
 
-        return jax.lax.fori_loop(start, start + count, body, carry)
+    def sphere_range(start, count, carry):
+        return jax.lax.fori_loop(start, start + count, sphere_body, carry)
 
     def cluster_body(ci, carry):
         c = order_ref[oct_id * n_clusters + ci]
@@ -161,47 +142,9 @@ def _culled_kernel(
     # dynamic row reads are not vectorizable in-kernel).
     ns_total = nq_ref[1]  # global sphere count (for the quad prim offset)
 
-    def quad_body(qi, carry):
-        t_b, p_b = carry
-        qb = qi * 12
-        nx = quad_ref[qb]
-        ny = quad_ref[qb + 1]
-        nz = quad_ref[qb + 2]
-        dplane = quad_ref[qb + 3]
-        d_n = dx * nx + dy * ny + dz * nz
-        o_n = ox * nx + oy * ny + oz * nz
-        denom_ok = jnp.abs(d_n) >= QUAD_DENOM_EPS
-        t = (dplane - o_n) / jnp.where(denom_ok, d_n, 1.0)
-        avx = quad_ref[qb + 4]
-        avy = quad_ref[qb + 5]
-        avz = quad_ref[qb + 6]
-        alpha = (
-            (ox * avx + oy * avy + oz * avz)
-            + t * (dx * avx + dy * avy + dz * avz)
-            - quad_ref[qb + 10]
-        )
-        bvx = quad_ref[qb + 7]
-        bvy = quad_ref[qb + 8]
-        bvz = quad_ref[qb + 9]
-        beta = (
-            (ox * bvx + oy * bvy + oz * bvz)
-            + t * (dx * bvx + dy * bvy + dz * bvz)
-            - quad_ref[qb + 11]
-        )
-        ok = (
-            denom_ok
-            & (t > T_MIN)
-            & (alpha >= 0.0)
-            & (alpha <= 1.0)
-            & (beta >= 0.0)
-            & (beta <= 1.0)
-        )
-        t_cand = jnp.where(ok, t * a, INF)
-        better = t_cand < t_b
-        return (
-            jnp.where(better, t_cand, t_b),
-            jnp.where(better, ns_total + qi, p_b),
-        )
+    quad_body = chb.make_quad_body(
+        quad_ref, ox, oy, oz, dx, dy, dz, a, prim_offset=ns_total
+    )
 
     t_best, prim_best = jax.lax.fori_loop(
         0, nq_ref[0], quad_body, (t_best, prim_best)

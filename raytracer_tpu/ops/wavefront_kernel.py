@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from raytracer_tpu.ops import closest_hit_body as chb
+
 from raytracer_tpu.ops.intersect_kernel import (
     DEFAULT_ROWS,
     INF,
@@ -136,76 +138,18 @@ def _wavefront_kernel(
     t0_best = jnp.full(ox.shape, INF)
     prim_best = jnp.full(ox.shape, -1, jnp.int32)
 
-    def sphere_body(i, carry_in):
-        t_best, p_best = carry_in
-        base = i * 4
-        cx = sph_ref[base]
-        cy = sph_ref[base + 1]
-        cz = sph_ref[base + 2]
-        c2r2 = sph_ref[base + 3]
-        d_dot_c = dx * cx + dy * cy + dz * cz
-        o_dot_c = ox * cx + oy * cy + oz * cz
-        half_b = d_dot_o - d_dot_c
-        c = o_sq - 2.0 * o_dot_c + c2r2
-        disc = half_b * half_b - a * c
-        # No max/feasible mask: sqrt(disc<0) = NaN, NaN comparisons are
-        # false, so infeasible candidates fall through to INF naturally.
-        sq = jnp.sqrt(disc)
-        nhb = -half_b
-        t0s = nhb - sq
-        t1s = nhb + sq
-        t_cand = jnp.where(
-            t0s > tmin_a, t0s, jnp.where(t1s > tmin_a, t1s, INF)
-        )
-        better = t_cand < t_best
-        return jnp.where(better, t_cand, t_best), jnp.where(better, i, p_best)
+    sphere_body = chb.make_sphere_body(
+        sph_ref, ox, oy, oz, dx, dy, dz, d_dot_o, o_sq, a, tmin_a
+    )
 
     t_best, prim_best = jax.lax.fori_loop(
         0, ns_ref[0], sphere_body, (t0_best, prim_best)
     )
     ns = ns_ref[0]
 
-    def quad_body(qi, carry_in):
-        t_best, p_best = carry_in
-        qb = qi * 12
-        nx = quad_ref[qb]
-        ny = quad_ref[qb + 1]
-        nz = quad_ref[qb + 2]
-        dplane = quad_ref[qb + 3]
-        d_n = dx * nx + dy * ny + dz * nz
-        o_n = ox * nx + oy * ny + oz * nz
-        denom_ok = jnp.abs(d_n) >= QUAD_DENOM_EPS
-        t = (dplane - o_n) / jnp.where(denom_ok, d_n, 1.0)
-        avx = quad_ref[qb + 4]
-        avy = quad_ref[qb + 5]
-        avz = quad_ref[qb + 6]
-        alpha = (
-            (ox * avx + oy * avy + oz * avz)
-            + t * (dx * avx + dy * avy + dz * avz)
-            - quad_ref[qb + 10]
-        )
-        bvx = quad_ref[qb + 7]
-        bvy = quad_ref[qb + 8]
-        bvz = quad_ref[qb + 9]
-        beta = (
-            (ox * bvx + oy * bvy + oz * bvz)
-            + t * (dx * bvx + dy * bvy + dz * bvz)
-            - quad_ref[qb + 11]
-        )
-        ok = (
-            denom_ok
-            & (t > T_MIN)
-            & (alpha >= 0.0)
-            & (alpha <= 1.0)
-            & (beta >= 0.0)
-            & (beta <= 1.0)
-        )
-        t_cand = jnp.where(ok, t * a, INF)  # scaled-t space (see above)
-        better = t_cand < t_best
-        return (
-            jnp.where(better, t_cand, t_best),
-            jnp.where(better, ns + qi, p_best),
-        )
+    quad_body = chb.make_quad_body(
+        quad_ref, ox, oy, oz, dx, dy, dz, a, prim_offset=ns
+    )
 
     t_best, prim_best = jax.lax.fori_loop(
         0, nq_ref[0], quad_body, (t_best, prim_best)
