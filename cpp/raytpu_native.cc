@@ -69,7 +69,7 @@ void emit(BuildCtx& ctx, std::vector<int32_t>& ids, size_t lo, size_t hi) {
     ctx.leaf_start.push_back(-1);
     ctx.leaf_count.push_back(0);
     // Longest axis of the centroid extent (first max wins, like np.argmax).
-    float cmin[3] = {mn[0], mn[1], mn[2]}, cmax[3] = {mx[0], mx[1], mx[2]};
+    float cmin[3], cmax[3];
     for (int a = 0; a < 3; ++a) {
       cmin[a] = std::numeric_limits<float>::infinity();
       cmax[a] = -cmin[a];

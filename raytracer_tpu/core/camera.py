@@ -35,6 +35,11 @@ class Camera(NamedTuple):
     defocus_angle_radians: jnp.ndarray  # ()
     focus_dist: jnp.ndarray  # ()
     background: jnp.ndarray  # (3,) flat background color (ray.go:53)
+    # () — W/H aspect. The reference sizes the viewport and pixel pitch from
+    # the FLOAT image height floor(W)/aspect (camera.go:137-153) while
+    # rendering int(height) rows; carrying the aspect keeps that exact even
+    # when W/aspect is not an integer (the int height alone cannot).
+    aspect: jnp.ndarray = None
 
 
 class RenderSettings(NamedTuple):
@@ -89,6 +94,7 @@ def make_camera(
         defocus_angle_radians=jnp.float32(math.radians(defocus_angle_degrees)),
         focus_dist=jnp.float32(focus_dist),
         background=jnp.asarray(background, jnp.float32),
+        aspect=jnp.float32(aspect_ratio),
     )
     settings = RenderSettings(
         width=int(image_width),
@@ -115,9 +121,13 @@ class CameraFrame(NamedTuple):
 def camera_frame(cam: Camera, width: int, height: int) -> CameraFrame:
     """Compute the derived frame. Mirrors Camera.init (camera.go:128-165).
 
-    Note the reference uses the *float* image height `floor(W)/aspect` for the
-    pixel_dv scale (camera.go:150-153); with integer W/H from
-    `image_height_for` the two agree, so we use the ints directly.
+    The reference uses the *float* image height `floor(W)/aspect` for the
+    viewport width and pixel_dv scale (camera.go:137-153) even though it
+    renders int(height) rows; when the camera carries its aspect we do the
+    same, so non-dividing aspects (e.g. aspect=3, W=100 -> H=33 rows at a
+    33.33-row pitch) match the reference bit-for-bit. Cameras without an
+    aspect (None) fall back to the integer height (identical whenever
+    W/aspect is an integer — every reference scene).
     """
     center = cam.look_from
     w = vm.normalize(cam.look_from - cam.look_at)
@@ -126,12 +136,16 @@ def camera_frame(cam: Camera, width: int, height: int) -> CameraFrame:
 
     h = jnp.tan(cam.fov_radians / 2.0)
     viewport_h = 2.0 * h * cam.focus_dist
-    viewport_w = viewport_h * (float(width) / float(height))
+    if getattr(cam, "aspect", None) is not None:
+        float_h = jnp.maximum(float(width) / cam.aspect, 1.0)  # camera.go:137-140
+    else:
+        float_h = float(height)
+    viewport_w = viewport_h * (float(width) / float_h)
 
     viewport_u = u * viewport_w
     viewport_v = -v * viewport_h
     pixel_du = viewport_u / float(width)
-    pixel_dv = viewport_v / float(height)
+    pixel_dv = viewport_v / float_h
 
     upper_left = center - cam.focus_dist * w - 0.5 * viewport_u - 0.5 * viewport_v
     pixel00 = upper_left + 0.5 * (pixel_du + pixel_dv)

@@ -100,8 +100,13 @@ def sphere_contour_points(center, radius, eye, phi):
     r = jnp.abs(radius)  # negative radius = hollow-glass inner shell, same surface
     z = center - eye
     d = jnp.linalg.norm(z, axis=-1)
-    valid = d > r * 1.001 + 1e-6
-    d_safe = jnp.maximum(d, r * 1.001 + 1e-6)
+    # Eye-outside margin: RELATIVE 1e-4, not 1e-3 — a camera standing 0.5
+    # above a radius-1000 ground sphere has d/r ~ 1.0005, and its horizon is
+    # a perfectly good silhouette (f32 keeps d^2 - r^2 to ~0.1 absolute at
+    # r=1000, plenty for rho).
+    margin = r * (1.0 + 1e-4) + 1e-6
+    valid = d > margin
+    d_safe = jnp.maximum(d, margin)
     zh = z / d_safe[..., None]
     a = r * r / d_safe
     rho = r * jnp.sqrt(jnp.maximum(d_safe * d_safe - r * r, 1e-12)) / d_safe
@@ -198,7 +203,10 @@ def make_boundary_image_fn(
         frame = camera_frame(cam_sg, width, height)
         eye = frame.center
 
-        pieces = []  # (x_fn(params) -> (K,2), x_sg, tangent_sg, anchor_xy, valid)
+        # Each piece: (x_fn(params, cam) -> (K,2), x_sg (K,2), tangent_sg
+        # (K,2), out2d_sg (K,2) image-space outward direction, valid (K,),
+        # dl line-measure per sample).
+        pieces = []
 
         if "sph_center" in params or "sph_radius" in params:
             M = cfg.samples_per_sphere
@@ -235,14 +243,21 @@ def make_boundary_image_fn(
 
             x_sg, tangent = jax.jvp(proj2, (pts,), (dpts,))
             _, _, front = project_to_pixels(frame, pts)
-            # Anchor: projected sphere center — inside the convex contour.
-            sa, ta, _ = project_to_pixels(frame, c_sg)
-            anchor = jnp.stack([sa, ta], axis=-1)[:, None, :]
-            anchor = jnp.broadcast_to(anchor, x_sg.shape).reshape(-1, 2)
+            # Outward orientation from 3D: the surface normal (p - c)/|p - c|
+            # points out of the sphere; its image-space pushforward points out
+            # of the projected region. (A projected-center anchor is WRONG
+            # when the center lies behind the eye plane — e.g. a giant ground
+            # sphere whose horizon is in view — because project_to_pixels
+            # point-mirrors behind-eye points.)
+            n3d = pts - c_sg[:, None, :]
+            n3d = n3d / jnp.maximum(
+                jnp.linalg.norm(n3d, axis=-1, keepdims=True), 1e-12
+            )
+            _, out2d = jax.jvp(proj2, (pts,), (n3d,))
             valid = (valid_s[:, None] & front).reshape(-1)
             dl = (2.0 * math.pi / M)  # Δφ
             pieces.append((sphere_x, x_sg.reshape(-1, 2), tangent.reshape(-1, 2),
-                           anchor, valid, dl))
+                           out2d.reshape(-1, 2), valid, dl))
 
         if any(k in params for k in ("quad_q", "quad_u", "quad_v")) and scene.num_quads:
             Me = cfg.samples_per_quad_edge
@@ -268,13 +283,23 @@ def make_boundary_image_fn(
 
             x_sg, tangent = jax.jvp(proj3, (pts,), (dpts,))
             _, _, front = project_to_pixels(frame, pts)
-            sa, ta, _ = project_to_pixels(frame, q_sg + 0.5 * (u_sg + v_sg))
-            anchor = jnp.stack([sa, ta], axis=-1)[:, None, :]
-            anchor = jnp.broadcast_to(anchor, x_sg.shape).reshape(-1, 2)
+            # In-plane outward directions per edge (interior of the
+            # parallelogram lies toward +v/-u/-v/+u respectively); their
+            # image pushforward orients the 2D normal without any anchor.
+            out3d = jnp.concatenate(
+                [
+                    jnp.broadcast_to(-v_sg[:, None, :], (v_sg.shape[0], Me, 3)),
+                    jnp.broadcast_to(u_sg[:, None, :], (u_sg.shape[0], Me, 3)),
+                    jnp.broadcast_to(v_sg[:, None, :], (v_sg.shape[0], Me, 3)),
+                    jnp.broadcast_to(-u_sg[:, None, :], (u_sg.shape[0], Me, 3)),
+                ],
+                axis=1,
+            )
+            _, out2d = jax.jvp(proj3, (pts,), (out3d,))
             valid = front.reshape(-1)
             dl = 1.0 / Me  # Δτ; tangent already carries |dx/dτ|
             pieces.append((quad_x, x_sg.reshape(-1, 2), tangent.reshape(-1, 2),
-                           anchor, valid, dl))
+                           out2d.reshape(-1, 2), valid, dl))
 
         zero_cam = jax.tree_util.tree_map(jnp.zeros_like, cam)
         if not pieces:
@@ -282,19 +307,25 @@ def make_boundary_image_fn(
 
         grads = jax.tree_util.tree_map(jnp.zeros_like, params)
         cam_grads = zero_cam
-        for x_fn, x_sg, tangent, anchor, valid, dl in pieces:
+        for x_fn, x_sg, tangent, out2d, valid, dl in pieces:
             tan_norm = jnp.linalg.norm(tangent, axis=-1)
             that = tangent / jnp.maximum(tan_norm, 1e-12)[:, None]
-            # 2D normal of the edge, oriented away from the projected interior.
+            # 2D normal of the edge, oriented along the projected outward
+            # direction (away from the primitive's image region).
             n_hat = jnp.stack([that[:, 1], -that[:, 0]], axis=-1)
-            flip = jnp.sum(n_hat * (x_sg - anchor), axis=-1) < 0.0
-            n_hat = jnp.where(flip[:, None], -n_hat, n_hat)
+            out_dot = jnp.sum(n_hat * out2d, axis=-1)
+            n_hat = jnp.where((out_dot < 0.0)[:, None], -n_hat, n_hat)
 
             in_img = (
                 (x_sg[:, 0] > -0.5) & (x_sg[:, 0] < width - 0.5)
                 & (x_sg[:, 1] > -0.5) & (x_sg[:, 1] < height - 0.5)
             )
-            ok = valid & in_img & jnp.isfinite(x_sg).all(axis=-1)
+            ok = (
+                valid & in_img & jnp.isfinite(x_sg).all(axis=-1)
+                # Edge-on views: the outward pushforward vanishes and the
+                # orientation is undefined (the contribution is, too).
+                & (jnp.abs(out_dot) > 1e-9)
+            )
 
             # Common-random-number radiance a hair inside/outside the edge.
             # Inside a curved silhouette the hit normal rotates like O(√ε), so

@@ -238,3 +238,24 @@ def test_camera_silhouette_fd_parity():
     fds = np.array(fds)
     scale = np.abs(fds).max()
     np.testing.assert_allclose(gf, fds, rtol=0.15, atol=0.08 * scale)
+
+
+def test_horizon_of_sphere_centered_behind_camera():
+    """A giant ground sphere whose CENTER is behind the eye plane while its
+    horizon crosses the view: project_to_pixels point-mirrors behind-eye
+    points, so the old projected-center anchor picked the inward normal and
+    sign-inverted every boundary contribution from the horizon. The 3D
+    outward pushforward is view-independent; FD must match in sign and
+    magnitude."""
+    b = SceneBuilder(0)
+    # Floor passes under the camera; center sits behind it (+z).
+    b.add_sphere((0.0, -1000.5, 10.0), 1000.0, b.lambertian((0.6, 0.3, 0.2)))
+    scene = b.build()
+    cam, _ = make_camera(1.0, W, fov_degrees=55, look_from=(0, 0, 0),
+                         look_at=(0, -0.1, -3))
+    res = _fd_vs_ad(
+        scene, cam, ("sph_radius",), [("sph_radius", 0)], fd_eps=5e-2,
+    )
+    fd, full, interior = res[("sph_radius", 0)]
+    assert np.sign(full) == np.sign(fd), (fd, full)
+    assert abs(full - fd) < 0.25 * abs(fd) + 1e-4, (fd, full, interior)

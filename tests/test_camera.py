@@ -87,3 +87,14 @@ def test_image_height_truncation():
     assert s.height == 5
     _, s = make_camera(100.0, 10)  # would be < 1 -> clamp to 1 (camera.go:138-140)
     assert s.height == 1
+
+
+def test_non_dividing_aspect_matches_reference_float_height():
+    """The reference sizes the viewport/pixel pitch from the FLOAT image
+    height floor(W)/aspect while rendering int(height) rows
+    (camera.go:137-153). aspect=3, W=100 -> 33 rows at a 33.33-row pitch:
+    ~1% ray-direction error if the int height is used for the pitch (the
+    pre-fix behavior). The oracle keeps the float height, so this pins the
+    parity."""
+    _compare(3.0, 100, fov_degrees=45, look_from=(1, 2, 3), look_at=(0, 0, -1))
+    _compare(2.4, 97)
