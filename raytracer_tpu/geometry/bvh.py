@@ -182,7 +182,13 @@ def bvh_closest_hit(scene: Scene, bvh: FlatBVH, origin, direction, t_min=1e-3):
     max_leaf = int(np.max(np.asarray(bvh.leaf_count))) if num_nodes else 0
 
     def one_ray(o, d):
-        inv_d = 1.0 / d
+        # Sign-preserving tiny nudge on zero direction components: 1/0 = inf
+        # and (box-o)*inf with o ON the plane is 0*inf = NaN, whose
+        # comparisons read as miss — the bug class commit 3329cbb fixed in
+        # ops/culled_kernel.py. Keep the slab test conservative here too.
+        tiny = 1e-30
+        safe_d = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
+        inv_d = 1.0 / safe_d
 
         def prim_t(p):
             """Candidate t for global primitive id p (sphere or quad)."""
@@ -200,7 +206,9 @@ def bvh_closest_hit(scene: Scene, bvh: FlatBVH, origin, direction, t_min=1e-3):
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
             ts0 = (-half_b - sq) / a
             ts1 = (-half_b + sq) / a
-            feas = (disc >= 0.0) & (r != 0.0)
+            # Strict disc > 0, matching the dense oracle path
+            # (_sphere_candidate_t): exactly-tangent rays miss in both.
+            feas = (disc > 0.0) & (r != 0.0)
             ts0 = jnp.where(feas & (ts0 > t_min), ts0, jnp.inf)
             ts1 = jnp.where(feas & (ts1 > t_min), ts1, jnp.inf)
             t_s = jnp.minimum(ts0, ts1)

@@ -56,7 +56,17 @@ def write_png(path: str, img_u8: np.ndarray) -> None:
     if HAS_PIL:
         _PILImage.fromarray(np.asarray(img_u8), "RGB").save(path)
     else:  # pragma: no cover
+        # Don't claim success at `path` with nothing there: write the raw
+        # array next to it and say so (PPM output needs no Pillow —
+        # `--out x.ppm`).
         np.save(path + ".npy", np.asarray(img_u8))
+        import sys
+
+        print(
+            f"warning: Pillow unavailable — wrote {path}.npy (raw u8 array) "
+            f"instead of {path}; use a .ppm output for a Pillow-free image",
+            file=sys.stderr,
+        )
 
 
 def load_jpeg(path: str) -> np.ndarray:

@@ -27,14 +27,22 @@ from raytracer_tpu.render.driver import LARGE_SCENE_PRIMS, render_regen
 CHECKPOINT_VERSION = 2
 
 
-def config_fingerprint(scene, cam, settings, spp_per_chunk: int, seed: int) -> str:
+def config_fingerprint(
+    scene, cam, settings, spp_per_chunk: int, seed: int, extra: tuple = ()
+) -> str:
     """Hash of everything that determines the accumulated image: scene and
-    camera leaves, render settings, the chunk size the schedule actually uses,
-    and the seed. Resuming under a different configuration would silently
-    blend inconsistent accumulations or reuse chunk PRNG keys (advisor
-    finding, round 1), so load refuses on mismatch."""
+    camera leaves AND treedef (the treedef carries the static Scene fields —
+    bilinear_textures, procedural perlin — whose toggling also changes the
+    image), render settings, the chunk size the schedule actually uses, the
+    seed, and `extra` (wavefront size + backend flags: they change the
+    lane-to-sample assignment and hence the per-sample RNG stream, breaking
+    the bit-identical-resume guarantee if they differ). Resuming under a
+    different configuration would silently blend inconsistent accumulations
+    or reuse chunk PRNG keys, so load refuses on mismatch."""
     h = hashlib.sha256()
-    for leaf in jax.tree_util.tree_leaves((scene, cam)):
+    leaves, treedef = jax.tree_util.tree_flatten((scene, cam))
+    h.update(str(treedef).encode())
+    for leaf in leaves:
         arr = np.asarray(leaf)
         h.update(str(arr.dtype).encode())
         h.update(str(arr.shape).encode())
@@ -42,6 +50,7 @@ def config_fingerprint(scene, cam, settings, spp_per_chunk: int, seed: int) -> s
     h.update(repr(tuple(settings)).encode())
     h.update(str(int(spp_per_chunk)).encode())
     h.update(str(int(seed)).encode())
+    h.update(repr(extra).encode())
     return h.hexdigest()
 
 
@@ -73,7 +82,13 @@ def load_checkpoint(path: str) -> RenderCheckpoint | None:
         return None
     with np.load(path) as z:
         if int(z["version"]) != CHECKPOINT_VERSION:
-            return None
+            # Refuse loudly: returning None would silently restart from
+            # 0 spp and the first chunk save would clobber the old file.
+            raise ValueError(
+                f"checkpoint {path} has version {int(z['version'])}, this "
+                f"build writes {CHECKPOINT_VERSION}; finish it with the old "
+                "build or delete it to restart"
+            )
         return RenderCheckpoint(
             acc=z["acc"],
             done_spp=int(z["done_spp"]),
@@ -104,10 +119,19 @@ def render_with_checkpoints(
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
     n = w * h
     wavefront = int(min(max(n, 1 << 16), target_rays_per_pass))
+    on_tpu = jax.default_backend() == "tpu"
+    use_megakernel = on_tpu and scene.num_spheres + scene.num_quads <= LARGE_SCENE_PRIMS
     if spp_per_chunk is None:
-        spp_per_chunk = max(1, min(spp, (64 * wavefront) // max(1, n)))
+        # Prefer a divisor of spp: a trailing short chunk is a different
+        # static spp for the jitted program — a second minute-scale remote
+        # compile (same rationale as render_image's divisor search).
+        cap = max(1, min(spp, (64 * wavefront) // max(1, n)))
+        spp_per_chunk = next((k for k in range(cap, 0, -1) if spp % k == 0), cap)
 
-    fingerprint = config_fingerprint(scene, cam, settings, spp_per_chunk, seed)
+    fingerprint = config_fingerprint(
+        scene, cam, settings, spp_per_chunk, seed,
+        extra=(wavefront, on_tpu, use_megakernel),
+    )
     done, acc, chunk_idx = 0, jnp.zeros((h, w, 3), jnp.float32), 0
     if checkpoint_path:
         ck = load_checkpoint(checkpoint_path)
@@ -151,12 +175,11 @@ def render_with_checkpoints(
                 wavefront_size=wavefront,
                 max_depth=settings.max_depth,
                 sky_gradient=settings.sky_gradient,
-                use_pallas=jax.default_backend() == "tpu",
+                use_pallas=on_tpu,
                 # Past LARGE_SCENE_PRIMS the megakernel's in-kernel dense
                 # loop crawls (driver.py's large-scene note); fall back to
                 # the size-robust Pallas-intersect + XLA-shade wavefront.
-                use_megakernel=jax.default_backend() == "tpu"
-                and scene.num_spheres + scene.num_quads <= LARGE_SCENE_PRIMS,
+                use_megakernel=use_megakernel,
             )
             acc = acc + out * jnp.float32(step_spp)
             done += step_spp

@@ -239,13 +239,19 @@ def rand_spheres_large(
     b = SceneBuilder(seed)
     rng = np.random.default_rng(seed + 1)
     b.add_sphere((0, -1000, 0), 1000, b.lambertian((0.5, 0.5, 0.5)))
-    side = int(np.sqrt(n_spheres))
+    # Exactly n_spheres grid spheres (int(sqrt) silently under-delivered by
+    # up to ~2*side for non-square counts).
+    side = int(np.ceil(np.sqrt(n_spheres)))
+    added = 0
     for i in range(side):
         for j in range(side):
+            if added == n_spheres:
+                break
             c = (
                 i - side / 2 + 0.9 * rng.random(),
                 0.2,
                 j - side / 2 + 0.9 * rng.random(),
             )
             b.add_sphere(c, 0.2, b.lambertian(tuple(rng.random(3) * rng.random(3))))
+            added += 1
     return b.build(), cam, settings

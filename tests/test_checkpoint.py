@@ -70,3 +70,45 @@ def test_mismatched_config_refuses(tmp_path):
         render_with_checkpoints(
             scene, cam, settings, seed=1, spp_per_chunk=4, checkpoint_path=ckpt
         )
+
+
+def test_static_scene_flag_change_refuses(tmp_path):
+    """Static Scene fields (pytree_node=False, e.g. bilinear_textures) also
+    determine the image; the fingerprint hashes the treedef so toggling one
+    refuses the resume instead of silently blending two filtering modes."""
+    import pytest
+
+    b = SceneBuilder(0)
+    img = (np.arange(12, dtype=np.float32).reshape(2, 2, 3) % 3) / 3.0
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(img)))
+    cam, settings = make_camera(16 / 9, 40, samples_per_pixel=4, max_depth=3,
+                                background=(0.7, 0.8, 1.0))
+    ckpt = str(tmp_path / "r.npz")
+    render_with_checkpoints(
+        b.build(bilinear_textures=False), cam, settings, seed=0,
+        spp_per_chunk=2, checkpoint_path=ckpt, max_chunks=1,
+    )
+    with pytest.raises(ValueError, match="refusing to resume"):
+        render_with_checkpoints(
+            b.build(bilinear_textures=True), cam, settings, seed=0,
+            spp_per_chunk=2, checkpoint_path=ckpt,
+        )
+
+
+def test_version_mismatch_raises(tmp_path):
+    """An old-version checkpoint must refuse loudly, not silently restart
+    from 0 spp and clobber the file."""
+    import pytest
+
+    scene, cam, settings = _setup()
+    ckpt = str(tmp_path / "r.npz")
+    render_with_checkpoints(
+        scene, cam, settings, seed=0, spp_per_chunk=2,
+        checkpoint_path=ckpt, max_chunks=1,
+    )
+    with np.load(ckpt) as z:
+        data = dict(z)
+    data["version"] = np.array(data["version"]) + 1
+    np.savez(ckpt, **data)
+    with pytest.raises(ValueError, match="version"):
+        load_checkpoint(ckpt)
