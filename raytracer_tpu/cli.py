@@ -119,7 +119,8 @@ def main(argv=None) -> None:
 
             mesh = make_mesh(sample_parallel=args.sample_parallel)
             linear = render_image_sharded(
-                scene, cam, settings, mesh, seed=args.seed
+                scene, cam, settings, mesh, seed=args.seed,
+                progress=True, metrics=metrics,
             )
             img = np.asarray(jax.device_get(to_u8(linear)))
         else:

@@ -29,9 +29,19 @@ def make_mesh(n_devices: int | None = None, sample_parallel: int = 1) -> Mesh:
     `sample_parallel` devices cooperate on the same pixels (different sample
     keys); the remainder shard the pixel axis.
     """
-    devices = jax.devices()
+    # Group by host first: jax.devices() order is not guaranteed to keep a
+    # host's chips contiguous on real pod topologies, and a row-major reshape
+    # of an interleaved order would lay the `samples` axis across hosts —
+    # every per-pixel psum would then ride DCN instead of ICI. Sorting by
+    # (process_index, id) makes each reshape row (one tile / sample group)
+    # host-local whenever sample_parallel <= local_device_count.
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested n_devices={n_devices} but only {len(devices)} available"
+        )
     if n_devices % sample_parallel != 0:
         raise ValueError(
             f"n_devices={n_devices} not divisible by sample_parallel={sample_parallel}"

@@ -113,13 +113,23 @@ def render_pass_sharded(
 
 
 def sharded_samples_per_pass(spp: int, num_pixels: int, mesh: Mesh, target_rays: int) -> int:
-    """Largest k dividing spp with k % sample_axis == 0 and k*n <= target."""
+    """Largest k dividing spp with k % sample_axis == 0 and k*n <= target.
+
+    A valid k exists iff spp is a multiple of the sample-axis size (k must
+    divide spp AND be a multiple of n_samp); raise a clear error otherwise
+    instead of returning a k that crashes mid-trace in render_pass_sharded."""
     n_samp = mesh.shape[SAMPLE_AXIS]
+    if spp % n_samp != 0:
+        raise ValueError(
+            f"spp={spp} must be a multiple of the sample-axis size "
+            f"({n_samp}) for the pass-based sharded render; use "
+            "regenerative=True (the default), which splits any spp exactly"
+        )
     ideal = max(n_samp, min(spp, target_rays // max(1, num_pixels)))
     for k in range(ideal, 0, -1):
         if spp % k == 0 and k % n_samp == 0:
             return k
-    return n_samp if spp % n_samp == 0 else spp
+    return n_samp
 
 
 @partial(
@@ -341,6 +351,7 @@ def render_large_scene_sharded(
     *,
     seed: int = 0,
     progress: bool = False,
+    metrics=None,
 ) -> jnp.ndarray:
     """Sharded pass loop for scenes past LARGE_SCENE_PRIMS: the multi-device
     version of render/driver._render_large_scene (BVH-cluster culled camera
@@ -370,9 +381,16 @@ def render_large_scene_sharded(
 
     key = jax.random.PRNGKey(seed)
     n_pad = per_dev * n_dev
-    acc = np.zeros((n, 3), np.float32)
+    # Accumulate on device in the sharded layout (each pass produces the
+    # same (n_dev, per_dev, 3) sharding, so the add is collective-free) and
+    # fetch ONCE at the end: a per-pass np.asarray would serialize every
+    # device->host transfer with the next pass's dispatch, defeating JAX's
+    # async pipeline exactly like the single-device _render_large_scene
+    # avoids.
+    acc = None
+    seg_parts = []  # sharded device values; synced once at the end
     for p in range(passes):
-        radiance, _segs = _large_scene_pass_sharded(
+        radiance, segs = _large_scene_pass_sharded(
             scene,
             tables,
             cam,
@@ -385,13 +403,22 @@ def render_large_scene_sharded(
             max_depth=settings.max_depth,
             sky_gradient=settings.sky_gradient,
         )
-        # Host-side assembly: fetch the disjoint per-device blocks and fold
-        # the k sample layers (device->host anyway for image output).
-        rad = np.asarray(radiance).reshape(n_pad, 3)[: k * n]
-        acc += rad.reshape(k, n, 3).sum(axis=0)
+        acc = radiance if acc is None else acc + radiance
+        seg_parts.append(segs)
+        if metrics is not None:
+            metrics.update((p + 1) * k)
         if progress:
             print(f"pass {p + 1}/{passes}", flush=True)
-    return jnp.asarray(acc.reshape(h, w, 3) / np.float32(spp))
+    # Host-side assembly (one fetch): fold the k sample layers of the
+    # disjoint per-device blocks into the framebuffer.
+    rad = np.asarray(acc).reshape(n_pad, 3)[: k * n]
+    if metrics is not None:
+        metrics.update(
+            passes * k,
+            segments=int(sum(np.asarray(s).sum() for s in seg_parts)),
+            iters=passes,
+        )
+    return jnp.asarray(rad.reshape(k, n, 3).sum(axis=0).reshape(h, w, 3) / np.float32(spp))
 
 
 def render_image_sharded(
@@ -403,47 +430,73 @@ def render_image_sharded(
     seed: int = 0,
     target_rays_per_pass: int = 1 << 20,
     regenerative: bool = True,
+    progress: bool = False,
+    metrics=None,
 ) -> jnp.ndarray:
     """Full sharded render; returns linear mean radiance (H, W, 3).
 
     regenerative=True (default) runs the production fast path on every
     device (`render_regen_sharded`); False keeps the simple per-pass batch
     tracer (`render_pass_sharded`, the shape the differentiable path uses).
+
+    metrics: optional utils.metrics.RenderMetrics — per-chunk spp progress
+    immediately, traced-segment/iteration totals once at the end (iteration
+    counts SUM over devices; occupancy is per-device-lane basis, matching
+    the single-device report).
     """
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
     key = jax.random.PRNGKey(seed)
 
     if regenerative:
         from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
-        from raytracer_tpu.render.driver import LARGE_SCENE_PRIMS
+        from raytracer_tpu.render.driver import (
+            LARGE_SCENE_PRIMS,
+            regen_max_slots,
+            regen_spp_chunk,
+        )
 
         on_tpu = jax.default_backend() == "tpu"
         # Past LARGE_SCENE_PRIMS the in-kernel paths stop compiling/paying
-        # (driver.py's large-scene note); the sharded path falls back to the
-        # Pallas-intersect + XLA-shade wavefront, which is size-robust. (The
-        # cluster-culled camera intersector is single-device-only for now.)
+        # (driver.py's large-scene note); dispatch the sharded large-scene
+        # renderer: BVH-cluster-culled camera rays + dense Pallas bounces on
+        # every device, over contiguous pixel-coherent blocks, with zero
+        # collectives.
         large = scene.num_spheres + scene.num_quads > LARGE_SCENE_PRIMS
         if large and on_tpu:
-            return render_large_scene_sharded(scene, cam, settings, mesh, seed=seed)
+            return render_large_scene_sharded(
+                scene, cam, settings, mesh, seed=seed,
+                progress=progress, metrics=metrics,
+            )
         use_persistent = on_tpu and not large and scene_supports_persistent(scene)
         n_dev = mesh.devices.size
         n = w * h
         wavefront = int(
             min(max(n, 1 << 16), max(target_rays_per_pass // n_dev, 1 << 16))
         )
-        # Chunk the spp budget so each device's retirement-log slot count
-        # stays within its VMEM/HBM budget (same rule as render_image). A
-        # device's share of a chunk is ceil(spp_chunk / n_dev), so bound that
-        # ceil: spp_chunk <= n_dev * floor(max_slots * wavefront / n).
-        max_slots = (40 if scene.has_noise else 64) if use_persistent else 64
-        cap = max(1, min(spp, n_dev * ((max_slots * wavefront) // max(1, n))))
-        spp_chunk = next((k for k in range(cap, 0, -1) if spp % k == 0), cap)
+        # Same chunk-sizing rule as render_image, scaled by the device count
+        # (each device's share of a chunk is ceil(spp_chunk / n_dev)).
+        max_slots = regen_max_slots(use_persistent, scene.has_noise)
+        spp_chunk = regen_spp_chunk(spp, n, wavefront, max_slots, n_dev=n_dev)
+        if metrics is not None:
+            from raytracer_tpu.integrator.wavefront import strided_schedule
+            from raytracer_tpu.ops.persistent_kernel import DEFAULT_ROWS, LANES
+
+            per_dev_spp = -(-min(spp_chunk, spp) // n_dev)
+            n_lanes, num_slots, _ = strided_schedule(n, per_dev_spp, wavefront)
+            # Occupancy basis is per-device lanes (iters below SUM across
+            # devices, so segments / (iters * lanes) stays comparable to the
+            # single-device number).
+            metrics.wavefront_lanes = (
+                DEFAULT_ROWS * LANES if use_persistent else n_lanes
+            )
+            metrics.retirement_log_mb = 3 * num_slots * n_lanes * 4 / 2**20
         acc = jnp.zeros((h, w, 3), jnp.float32)
         done = 0
         chunk_idx = 0
+        chunk_stats = []  # device scalars; synced once after the last chunk
         while done < spp:
             step_spp = min(spp_chunk, spp - done)
-            acc = acc + render_regen_sharded(
+            out = render_regen_sharded(
                 scene,
                 cam,
                 jax.random.fold_in(key, chunk_idx),
@@ -458,14 +511,29 @@ def render_image_sharded(
                 use_megakernel=on_tpu and not use_persistent and not large,
                 use_persistent=use_persistent,
                 rr_max_q=0.75 if use_persistent else 0.95,
+                return_stats=metrics is not None,
             )
+            if metrics is not None:
+                fb, segments, _iters_max, iters_sum = out
+                chunk_stats.append((segments, iters_sum))
+            else:
+                fb = out
+            acc = acc + fb
             done += step_spp
             chunk_idx += 1
+            if metrics is not None:
+                metrics.update(done)
+            if progress:
+                print(f"spp {done}/{spp}", flush=True)
+        if metrics is not None and chunk_stats:
+            metrics.update(
+                done,
+                segments=sum(int(s) for s, _ in chunk_stats),
+                iters=sum(int(i) for _, i in chunk_stats),
+            )
         return acc / jnp.float32(spp)
 
     k = sharded_samples_per_pass(spp, w * h, mesh, target_rays_per_pass)
-    if spp % k != 0:
-        raise ValueError(f"spp={spp} not divisible by chosen k={k}")
     passes = spp // k
     acc = jnp.zeros((h, w, 3), jnp.float32)
     for p in range(passes):
@@ -480,4 +548,8 @@ def render_image_sharded(
             max_depth=settings.max_depth,
             sky_gradient=settings.sky_gradient,
         )
+        if metrics is not None:
+            metrics.update((p + 1) * k)
+        if progress:
+            print(f"pass {p + 1}/{passes} ({(p + 1) * k}/{spp} spp)", flush=True)
     return acc / jnp.float32(spp)

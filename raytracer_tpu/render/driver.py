@@ -34,6 +34,30 @@ DEFAULT_TARGET_RAYS_PER_PASS = 1 << 19
 LARGE_SCENE_PRIMS = 4096
 
 
+def regen_max_slots(use_persistent: bool, has_noise: bool) -> int:
+    """Retirement-log slot budget per chunk of the regenerative wavefront.
+
+    The 40-slot cap on noise scenes is a PERSISTENT-KERNEL VMEM constraint
+    (the in-kernel Perlin shader adds ~6 MB of stack temporaries; K=64 OOMs
+    by 3.6 MB there, 40 fits — see the sizing note in render_image). The
+    megakernel/XLA paths keep the log in HBM and always afford 64."""
+    return (40 if has_noise else 64) if use_persistent else 64
+
+
+def regen_spp_chunk(
+    spp: int, n_pixels: int, wavefront: int, max_slots: int, n_dev: int = 1
+) -> int:
+    """Chunk the spp budget so each device's retirement-log slot count stays
+    within `max_slots` (a device's share of a chunk is ceil(chunk / n_dev),
+    so bound that ceil: chunk <= n_dev * floor(max_slots * wavefront / n)).
+    Prefers a divisor of spp: every chunk is then the same size -> exactly
+    ONE compiled executable (a second chunk size costs a ~minute-scale
+    remote compile on this tunnel). Shared by render_image and the sharded
+    renderer so the two sizing rules cannot drift."""
+    cap = max(1, min(spp, n_dev * ((max_slots * wavefront) // max(1, n_pixels))))
+    return next((k for k in range(cap, 0, -1) if spp % k == 0), cap)
+
+
 def samples_per_pass_for(
     spp: int, num_pixels: int, target_rays: int = DEFAULT_TARGET_RAYS_PER_PASS
 ) -> int:
@@ -221,7 +245,16 @@ def _large_scene_pass(
     return per_pixel.reshape(height, width, 3), segments
 
 
-def _render_large_scene(scene, cam, settings, *, seed, progress, metrics=None):
+def _render_large_scene(
+    scene,
+    cam,
+    settings,
+    *,
+    seed,
+    progress,
+    metrics=None,
+    target_rays_per_pass=DEFAULT_TARGET_RAYS_PER_PASS,
+):
     """Pass loop for scenes past LARGE_SCENE_PRIMS (see the constant's note).
     The scale analog of the reference's BVH acceleration (bvh.go:220-249):
     coherent camera batches get subtree culling; incoherent bounces use the
@@ -233,7 +266,7 @@ def _render_large_scene(scene, cam, settings, *, seed, progress, metrics=None):
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
     n = w * h
     tables = build_large_scene_tables(scene)  # host-side BVH clustering, once
-    k = samples_per_pass_for(spp, n)
+    k = samples_per_pass_for(spp, n, target_rays_per_pass)
     tile = CULL_ROWS * LANES
     n_pad = -(-(k * n) // tile) * tile
     passes = spp // k
@@ -304,7 +337,13 @@ def render_image(
         and scene.num_spheres + scene.num_quads > LARGE_SCENE_PRIMS
     ):
         return _render_large_scene(
-            scene, cam, settings, seed=seed, progress=progress, metrics=metrics
+            scene,
+            cam,
+            settings,
+            seed=seed,
+            progress=progress,
+            metrics=metrics,
+            target_rays_per_pass=target_rays_per_pass,
         )
 
     if regenerative:
@@ -329,17 +368,13 @@ def render_image(
         # Perlin shader adds ~6 MB of stack temporaries, so noise scenes cap
         # lower (K=64 OOMs by 3.6 MB there; 40 fits).
         max_wavefront = 1 << 21
-        max_slots = 40 if scene.has_noise else 64
+        max_slots = regen_max_slots(use_persistent, scene.has_noise)
         if use_persistent:
             ideal = -(-(n * spp) // max_slots)
             wavefront = int(min(max(ideal, 1 << 16), max_wavefront))
         else:
             wavefront = int(max(target_rays_per_pass, min(n, max_wavefront)))
-        cap = max(1, min(spp, (max_slots * wavefront) // max(1, n)))
-        # Prefer a divisor of spp: every chunk is the same size -> exactly
-        # ONE compiled executable (a second chunk size costs a ~minute-scale
-        # remote compile on this tunnel).
-        spp_chunk = next((k for k in range(cap, 0, -1) if spp % k == 0), cap)
+        spp_chunk = regen_spp_chunk(spp, n, wavefront, max_slots)
         if metrics is not None:
             from raytracer_tpu.integrator.wavefront import strided_schedule
             from raytracer_tpu.ops.persistent_kernel import DEFAULT_ROWS, LANES

@@ -97,3 +97,19 @@ def test_device_memory_stats_shape():
     assert isinstance(stats, dict)
     for v in stats.values():
         assert v >= 0
+
+
+def test_regen_slot_cap_scoped_to_persistent_kernel():
+    """The 40-slot noise cap is a persistent-kernel VMEM constraint; the
+    megakernel/XLA paths must keep 64 (sixth-review finding: the two copies
+    of this rule in driver/shard had diverged)."""
+    from raytracer_tpu.render.driver import regen_max_slots, regen_spp_chunk
+
+    assert regen_max_slots(use_persistent=True, has_noise=True) == 40
+    assert regen_max_slots(use_persistent=True, has_noise=False) == 64
+    assert regen_max_slots(use_persistent=False, has_noise=True) == 64
+    assert regen_max_slots(use_persistent=False, has_noise=False) == 64
+    # Divisor preference: one executable serves every chunk.
+    assert regen_spp_chunk(500, 90000, 1 << 19, 64) == 250
+    # Multi-device form bounds the per-device ceil share.
+    assert regen_spp_chunk(64, 90000, 1 << 19, 64, n_dev=8) == 64

@@ -185,3 +185,47 @@ def test_sharded_large_scene_fallback(monkeypatch):
     np.testing.assert_allclose(
         img_s.mean((0, 1)), img_1.mean((0, 1)), rtol=0.06, atol=0.02
     )
+
+
+def test_sharded_samples_per_pass_uneven_spp_raises():
+    """spp not divisible by the sample axis has NO valid pass size for the
+    pass-based sharded render; the helper must refuse clearly instead of
+    returning a k that crashes mid-trace (sixth-review finding)."""
+    mesh = make_mesh(8, sample_parallel=4)
+    with pytest.raises(ValueError, match="multiple of the sample-axis"):
+        sharded_samples_per_pass(10, 1000, mesh, 1 << 20)
+    # The regen path (default) handles the same spp fine.
+    scene, cam, settings = _tiny()
+    settings = settings._replace(samples_per_pixel=10)
+    img = np.asarray(render_image_sharded(scene, cam, settings, mesh, seed=0))
+    assert np.isfinite(img).all()
+
+
+def test_make_mesh_too_many_devices_raises():
+    with pytest.raises(ValueError, match="only 8 available"):
+        make_mesh(16)
+
+
+def test_sharded_metrics_and_progress(capsys):
+    """--shard observability: metrics get segment/iteration totals and the
+    progress stream prints per chunk (sixth-review finding)."""
+    from raytracer_tpu.utils.metrics import RenderMetrics
+
+    scene, cam, settings = _tiny()
+    mesh = make_mesh(4, sample_parallel=2)
+    m = RenderMetrics(
+        total_spp=settings.samples_per_pixel,
+        pixels=settings.width * settings.height,
+    )
+    img = np.asarray(
+        render_image_sharded(
+            scene, cam, settings, mesh, seed=0, progress=True, metrics=m
+        )
+    )
+    assert np.isfinite(img).all()
+    assert m.done_spp == settings.samples_per_pixel
+    assert m.traced_segments > 0
+    assert m.wavefront_iters > 0
+    snap = m.snapshot()
+    assert "traced_mrays_per_s" in snap and "occupancy" in snap
+    assert "spp" in capsys.readouterr().out
