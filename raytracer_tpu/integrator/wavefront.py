@@ -495,11 +495,13 @@ def regen_core(
         # independently (see ops/persistent_kernel.py).
         from raytracer_tpu.ops.persistent_kernel import (
             pack_camera_scalars_bg,
+            pack_image_table,
             pack_persistent_tables,
             render_persistent_pallas,
         )
 
         sph_p, quad_p, res_p = pack_persistent_tables(scene, qd)
+        img_p = pack_image_table(scene) if scene.has_image else None
         seed = jax.random.randint(key, (), 0, 1 << 30, jnp.int32)
         log, segments, iters = render_persistent_pallas(
             sph_p,
@@ -510,6 +512,7 @@ def regen_core(
             init_remaining.astype(jnp.int32),
             init_px,
             init_py,
+            img_p,
             width=width,
             height=height,
             jump_px=jump_px,
@@ -520,6 +523,9 @@ def regen_core(
             rr_hi=rr_max_q,
             sky_gradient=sky_gradient,
             has_noise=scene.has_noise,
+            has_image=scene.has_image,
+            img_h=int(scene.images.shape[1]),
+            img_w=int(scene.images.shape[2]),
             **({"rows": persistent_rows} if persistent_rows else {}),
         )
         return _fold_log(

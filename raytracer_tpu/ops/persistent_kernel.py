@@ -24,10 +24,15 @@ table in ceil(P/128) gathers per value — a few hundred vector ops per bounce
 versus the ~7000 serial SMEM scalar reads of a fused in-loop resolve
 (measured 12x slower) or the ~1.3 ms/iter XLA row gather of round 1.
 
-Supported in-kernel texture kinds: SOLID, CHECKER, and NOISE (the marble
-Perlin texture, recomputed per lane from the procedural hash tables —
-materials/perlin_hash.py); only image-texture scenes (earth) fall back to
-the round-1 front-half megakernel path.
+Supported in-kernel texture kinds: SOLID, CHECKER, NOISE (the marble Perlin
+texture, recomputed per lane from the procedural hash tables —
+materials/perlin_hash.py), and IMAGE (nearest-neighbor spherical-UV lookup,
+materials.go:165-193): texels live in VMEM as 8-bit RGB packed exactly into
+one f32 mantissa each (one lane-gather per 128-texel chunk instead of three),
+and the UV angles use the Mosaic-compatible ops/invtrig.py (no inverse trig
+lowers on TPU). Scenes exceeding MAX_IMAGE_TEXELS, with multiple images, or
+with image textures on quads fall back to the round-1 front-half megakernel
+path (scene_supports_persistent).
 
 Estimator semantics are identical to integrator.wavefront.render_wavefront_
 regen (same camera math, same strided per-lane sample queues, same
@@ -53,9 +58,11 @@ from raytracer_tpu.geometry.scene import (
     LAMBERTIAN,
     METAL,
     TEX_CHECKER,
+    TEX_IMAGE,
     TEX_NOISE,
 )
 from raytracer_tpu.materials import perlin_hash as _ph
+from raytracer_tpu.ops import invtrig
 
 LANES = 128
 DEFAULT_ROWS = 64  # best measured on v5e (76 vs 73 Mrays/s at 128 rows)
@@ -89,7 +96,19 @@ RES_PRM = 5  # metal fuzz | dielectric ior
 RES_C0 = 6  # 3 — albedo / solid / checker-even color
 RES_C1 = 9  # 3 — checker-odd color
 RES_ITS = 12  # 1/checker-scale (0 -> solid)
-N_RES = 13
+RES_IMG = 13  # 1.0 -> image texture (UV-mapped, spheres only in-kernel)
+N_RES = 14
+
+# Largest image (texels) the persistent kernel shades in-kernel: the packed
+# table is H*W/128 VMEM rows and the per-bounce gather scans all of them, so
+# cost grows linearly; 256x512 (the earth stand-in) = 1024 chunks measured
+# ~2.3x faster than the megakernel-fallback path it replaces (PERF_NOTES).
+MAX_IMAGE_TEXELS = 256 * 512
+
+# Sphere-UV phi offset quirk (hittables.go:124-125), kept equal to
+# geometry.intersect.SPHERE_UV_PHI_OFFSET.
+SPHERE_UV_PHI_OFFSET = 5.0 * 3.141592653589793 / 12.0
+PI = 3.141592653589793
 
 
 def _uniform(shape):
@@ -184,6 +203,7 @@ def _persistent_kernel(
     sph_ref, quad_ref, cam_ref, seed_ref,
     # VMEM in
     res_ref,  # (N_RES * n_chunks, 128) f32 — lane-replicated resolve table
+    img_ref,  # (n_img_chunks, 128) f32 — packed-RGB image texels ((1,128) dummy)
     rem0_ref, px0_ref, py0_ref,  # per-lane schedule init
     # outputs
     log_ref,  # (1, 3*K*ROWS, 128) f32 VMEM — retirement log, accumulated
@@ -209,6 +229,10 @@ def _persistent_kernel(
     rr_hi: float,
     sky_gradient: bool,
     has_noise: bool,
+    has_image: bool,
+    img_h: int,
+    img_w: int,
+    n_img_chunks: int,
     max_iters: int,
     ablate: str = "",
 ):
@@ -240,8 +264,11 @@ def _persistent_kernel(
     dep_s[:] = izero
     log_ref[0, :, :] = jnp.zeros((3 * num_slots * rows, LANES), jnp.float32)
 
-    def resolve(col, prim):
-        """Winner-row value for `col`: ceil(P/128) lane-gathers + selects."""
+    def resolve(col, prim_chunk, prim_off):
+        """Winner-row value for `col`: ceil(P/128) lane-gathers + selects.
+        Callers pass the winner id pre-split as (chunk, offset) — computed
+        once per bounce, not once per (column, chunk) — so the loop body is
+        broadcast + gather + compare + select only."""
         if "resolve" in ablate:  # perf-bisection: constant-fold the resolve
             return zero + (0.5 if col >= RES_C0 else (1.0 if col in (RES_G3, RES_PRM) else 0.0))
         val = zero
@@ -249,11 +276,8 @@ def _persistent_kernel(
             tb = jnp.broadcast_to(
                 res_ref[col * n_chunks + q : col * n_chunks + q + 1, :], shape
             )
-            idx = prim - q * LANES
-            in_ch = jnp.logical_and(idx >= 0, idx < LANES)
-            idxc = jnp.clip(idx, 0, LANES - 1)
-            g = jnp.take_along_axis(tb, idxc, axis=1, mode="promise_in_bounds")
-            val = jnp.where(in_ch, g, val)
+            g = jnp.take_along_axis(tb, prim_off, axis=1, mode="promise_in_bounds")
+            val = jnp.where(prim_chunk == q, g, val)
         return val
 
     def body(carry):
@@ -351,19 +375,21 @@ def _persistent_kernel(
         primc = jnp.where(hit, prim, 0)
 
         # ---- winner-row resolve: 13 lane-gathers, no scalar reads ----
-        g0 = resolve(RES_G0, primc)
-        g1 = resolve(RES_G1, primc)
-        g2 = resolve(RES_G2, primc)
-        g3 = resolve(RES_G3, primc)
-        mtype = resolve(RES_MT, primc).astype(jnp.int32)
-        prm = resolve(RES_PRM, primc)
-        c0x = resolve(RES_C0 + 0, primc)
-        c0y = resolve(RES_C0 + 1, primc)
-        c0z = resolve(RES_C0 + 2, primc)
-        c1x = resolve(RES_C1 + 0, primc)
-        c1y = resolve(RES_C1 + 1, primc)
-        c1z = resolve(RES_C1 + 2, primc)
-        its = resolve(RES_ITS, primc)
+        prim_chunk = jax.lax.shift_right_logical(primc, 7)
+        prim_off = primc & (LANES - 1)
+        g0 = resolve(RES_G0, prim_chunk, prim_off)
+        g1 = resolve(RES_G1, prim_chunk, prim_off)
+        g2 = resolve(RES_G2, prim_chunk, prim_off)
+        g3 = resolve(RES_G3, prim_chunk, prim_off)
+        mtype = resolve(RES_MT, prim_chunk, prim_off).astype(jnp.int32)
+        prm = resolve(RES_PRM, prim_chunk, prim_off)
+        c0x = resolve(RES_C0 + 0, prim_chunk, prim_off)
+        c0y = resolve(RES_C0 + 1, prim_chunk, prim_off)
+        c0z = resolve(RES_C0 + 2, prim_chunk, prim_off)
+        c1x = resolve(RES_C1 + 0, prim_chunk, prim_off)
+        c1y = resolve(RES_C1 + 1, prim_chunk, prim_off)
+        c1z = resolve(RES_C1 + 2, prim_chunk, prim_off)
+        its = resolve(RES_ITS, prim_chunk, prim_off)
 
         # ---- hit epilogue: point, outward normal, front face ----
         ptx = ox + t * dx
@@ -404,6 +430,43 @@ def _persistent_kernel(
             texr = jnp.where(is_noise, mval, texr)
             texg = jnp.where(is_noise, mval, texg)
             texb = jnp.where(is_noise, mval, texb)
+        if has_image:
+            # Image texture (materials.go:165-193): spherical UV with the
+            # reference's phi-offset quirk (hittables.go:122-126) on the
+            # normalized outward normal, nearest-neighbor texel fetch from the
+            # packed-RGB VMEM table (one lane-gather per 128-texel chunk; the
+            # 8-bit channels unpack exactly from the f32 mantissa). In-kernel
+            # image shading is gated to sphere-only image scenes
+            # (scene_supports_persistent), so quad lanes never select it.
+            is_img = resolve(RES_IMG, prim_chunk, prim_off) > 0.5
+            inv_nl = jax.lax.rsqrt(onx * onx + ony * ony + onz * onz + 1e-20)
+            uny = jnp.clip(ony * inv_nl, -1.0, 1.0)
+            theta = invtrig.acos(-uny)
+            phi = invtrig.atan2(-onz * inv_nl, onx * inv_nl) + PI
+            uu = jnp.clip((phi + SPHERE_UV_PHI_OFFSET) * (1.0 / TWO_PI), 0.0, 1.0)
+            vv = 1.0 - jnp.clip(theta * (1.0 / PI), 0.0, 1.0)
+            iu = jnp.clip((uu * img_w).astype(jnp.int32), 0, img_w - 1)
+            iv = jnp.clip((vv * img_h).astype(jnp.int32), 0, img_h - 1)
+            flat = iv * img_w + iu
+            # Pre-split the texel index once; the chunk-scan body is then
+            # broadcast + gather + compare + select (4 vector ops), which is
+            # what bounds per-iteration cost at 1024 chunks (256x512 earth).
+            tchunk = jax.lax.shift_right_logical(flat, 7)
+            toff = flat & (LANES - 1)
+
+            def img_chunk(q, val):
+                tb = jnp.broadcast_to(img_ref[pl.ds(q, 1), :], shape)
+                g = jnp.take_along_axis(tb, toff, axis=1, mode="promise_in_bounds")
+                return jnp.where(tchunk == q, g, val)
+
+            pval = jax.lax.fori_loop(0, n_img_chunks, img_chunk, zero)
+            ir_ = jnp.floor(pval * (1.0 / 65536.0))
+            rem_ = pval - ir_ * 65536.0
+            ig_ = jnp.floor(rem_ * (1.0 / 256.0))
+            ib_ = rem_ - ig_ * 256.0
+            texr = jnp.where(is_img, ir_ * (1.0 / 255.0), texr)
+            texg = jnp.where(is_img, ig_ * (1.0 / 255.0), texg)
+            texb = jnp.where(is_img, ib_ * (1.0 / 255.0), texb)
 
         # ---- miss -> background / sky (ray.go:53) ----
         if sky_gradient:
@@ -631,10 +694,11 @@ def pack_persistent_tables(scene, qd):
             jnp.where(is_noise, -scale, 0.0),
         )
         prm = jnp.where(is_metal, scene.mat_fuzz[mat_id], scene.mat_ior[mat_id])
-        return mtype, prm, c0, c1, its
+        timg = jnp.logical_and(ttype == TEX_IMAGE, ~is_metal).astype(jnp.float32)
+        return mtype, prm, c0, c1, its, timg
 
-    mt_s, prm_s, c0_s, c1_s, its_s = shading_cols(scene.sph_mat)
-    mt_q, prm_q, c0_q, c1_q, its_q = shading_cols(scene.quad_mat)
+    mt_s, prm_s, c0_s, c1_s, its_s, img_s = shading_cols(scene.sph_mat)
+    mt_q, prm_q, c0_q, c1_q, its_q, img_q = shading_cols(scene.quad_mat)
     safe_r = jnp.where(scene.sph_radius != 0.0, scene.sph_radius, 1.0)
     inv_r = jnp.where(scene.sph_radius != 0.0, 1.0 / safe_r, 0.0)
 
@@ -653,6 +717,7 @@ def pack_persistent_tables(scene, qd):
         jnp.concatenate([c1_s[:, 1], c1_q[:, 1]]),
         jnp.concatenate([c1_s[:, 2], c1_q[:, 2]]),
         jnp.concatenate([its_s, its_q]),  # ITS
+        jnp.concatenate([img_s, img_q]),  # IMG
     ]
     p = cols[0].shape[0]
     n_chunks = -(-p // LANES)
@@ -678,15 +743,54 @@ def pack_camera_scalars_bg(frame, background) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
+def pack_image_table(scene):
+    """Pack scene.images[0] into a (ceil(H*W/128), 128) f32 table of
+    r*65536 + g*256 + b integer texels.
+
+    Texels are quantized to 8-bit at scene build time (SceneBuilder.image),
+    so round(v*255) recovers the integer channels exactly and the packed
+    value (< 2^24) is exact in an f32 mantissa; the kernel's unpack
+    (floor-divide chain) is therefore bit-consistent with the XLA path's
+    stored k/255 values. Traceable (pure jnp) so the sharded path can pack
+    under shard_map."""
+    img = scene.images[0]  # (H, W, 3); static shape
+    k = jnp.round(img * 255.0)
+    packed = (k[..., 0] * 65536.0 + k[..., 1] * 256.0 + k[..., 2]).astype(jnp.float32)
+    flat = packed.reshape(-1)
+    pad = (-flat.shape[0]) % LANES
+    flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(-1, LANES)
+
+
 def scene_supports_persistent(scene) -> bool:
     """The in-kernel shader covers SOLID + CHECKER + NOISE (procedural
-    Perlin) textures with all four materials; image-texture scenes use the
-    front-half megakernel path. Noise requires the hash-procedural tables
-    (scene.perlin_procedural) — rng-filled tables would need in-kernel
-    gathers, which Mosaic cannot vectorize."""
-    if scene.has_image:
+    Perlin) + IMAGE textures with all four materials. Noise requires the
+    hash-procedural tables (scene.perlin_procedural) — rng-filled tables
+    would need in-kernel gathers, which Mosaic cannot vectorize. Image
+    support requires: a single image, on spheres only (quad UV is not
+    resolved in-kernel), within the VMEM texel budget. Larger/multi-image
+    scenes use the front-half megakernel path.
+
+    Call with a CONCRETE scene (the driver's eager gate) — the quad-texture
+    check reads array values."""
+    if scene.has_noise and not scene.perlin_procedural:
         return False
-    return scene.perlin_procedural or not scene.has_noise
+    if scene.has_image:
+        if scene.images.shape[0] != 1:
+            return False
+        if scene.images.shape[1] * scene.images.shape[2] > MAX_IMAGE_TEXELS:
+            return False
+        if scene.num_quads:
+            quad_tex = scene.tex_type[scene.mat_tex[scene.quad_mat]]
+            # Dummy/padded quads (u = v = 0, never hit) point at material 0
+            # arbitrarily — only non-degenerate quads count.
+            real = jnp.logical_or(
+                jnp.sum(scene.quad_u * scene.quad_u, -1) > 0.0,
+                jnp.sum(scene.quad_v * scene.quad_v, -1) > 0.0,
+            )
+            if bool(jnp.any(jnp.logical_and(real, quad_tex == TEX_IMAGE))):
+                return False
+    return True
 
 
 @partial(
@@ -694,7 +798,7 @@ def scene_supports_persistent(scene) -> bool:
     static_argnames=(
         "width", "height", "jump_px", "jump_py", "num_slots", "rows", "unroll",
         "max_depth", "rr_start", "rr_lo", "rr_hi", "sky_gradient", "has_noise",
-        "ablate",
+        "has_image", "img_h", "img_w", "ablate",
     ),
 )
 def render_persistent_pallas(
@@ -706,6 +810,7 @@ def render_persistent_pallas(
     rem0,
     px0,
     py0,
+    img_table=None,
     *,
     width: int,
     height: int,
@@ -722,6 +827,9 @@ def render_persistent_pallas(
     rr_hi: float = 0.95,
     sky_gradient: bool = False,
     has_noise: bool = False,
+    has_image: bool = False,
+    img_h: int = 1,
+    img_w: int = 1,
     ablate: str = "",
 ):
     """Run the full wavefront render in one kernel launch.
@@ -743,10 +851,16 @@ def render_persistent_pallas(
     grid = n // tile
     rows_n = n // LANES
     n_chunks = res_table.shape[0] // N_RES
+    if img_table is None:
+        img_table = jnp.zeros((1, LANES), jnp.float32)
+    n_img_chunks = img_table.shape[0]
 
     ispec = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
     res_spec = pl.BlockSpec(
         (N_RES * n_chunks, LANES), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+    )
+    img_spec = pl.BlockSpec(
+        (n_img_chunks, LANES), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
     )
     log_spec = pl.BlockSpec(
         (1, 3 * num_slots * rows, LANES), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -777,13 +891,17 @@ def render_persistent_pallas(
         rr_hi=rr_hi,
         sky_gradient=sky_gradient,
         has_noise=has_noise,
+        has_image=has_image,
+        img_h=img_h,
+        img_w=img_w,
+        n_img_chunks=n_img_chunks,
         max_iters=max_iters,
         ablate=ablate,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(grid,),
-        in_specs=[res_spec] + [ispec] * 3,
+        in_specs=[res_spec, img_spec] + [ispec] * 3,
         out_specs=[log_spec, stats_spec],
         scratch_shapes=(
             [pltpu.VMEM((rows, LANES), jnp.float32)] * 12
@@ -810,7 +928,7 @@ def render_persistent_pallas(
     )(
         sph_table.reshape(-1), quad_table.reshape(-1), cam_scalars,
         jnp.asarray([seed], jnp.int32),
-        res_table, planar(rem0), planar(px0), planar(py0),
+        res_table, img_table, planar(rem0), planar(px0), planar(py0),
     )
     # Block rows are (ch * K + k) * rows + r; lane = g * tile + r * 128 + c.
     log = log.reshape(grid, 3, num_slots, rows, LANES)

@@ -28,24 +28,27 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from raytracer_tpu.render.driver import render_regen
 from raytracer_tpu.scenes.registry import get_scene
 
-# (scene, fast-path flags): image-texture scenes run the megakernel
-# front-half, which also uses the in-kernel hardware PRNG (stubbed in the
-# interpreter), so it needs the same on-device check.
+# (label, scene, fast-path flags). earth now runs the persistent kernel
+# (in-kernel packed-RGB image path); the megakernel front-half remains the
+# fallback for over-budget/multi-image scenes and uses the in-kernel hardware
+# PRNG too (stubbed in the interpreter), so both surfaces get the on-device
+# check.
 SCENES = (
-    ("rand_spheres", dict(use_pallas=True, use_persistent=True)),
-    ("perlin", dict(use_pallas=True, use_persistent=True)),
-    ("quads", dict(use_pallas=True, use_persistent=True)),
-    ("simple_light", dict(use_pallas=True, use_persistent=True)),
-    ("cornell", dict(use_pallas=True, use_persistent=True)),
-    ("earth", dict(use_pallas=True, use_megakernel=True)),
+    ("rand_spheres", "rand_spheres", dict(use_pallas=True, use_persistent=True)),
+    ("perlin", "perlin", dict(use_pallas=True, use_persistent=True)),
+    ("quads", "quads", dict(use_pallas=True, use_persistent=True)),
+    ("simple_light", "simple_light", dict(use_pallas=True, use_persistent=True)),
+    ("cornell", "cornell", dict(use_pallas=True, use_persistent=True)),
+    ("earth", "earth", dict(use_pallas=True, use_persistent=True)),
+    ("earth_megakernel", "earth", dict(use_pallas=True, use_megakernel=True)),
 )
 
 
 def main() -> int:
     spp = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     results, ok_all = {}, True
-    for name, fast_flags in SCENES:
-        scene, cam, settings = get_scene(name, width=200, spp=spp)
+    for name, scene_name, fast_flags in SCENES:
+        scene, cam, settings = get_scene(scene_name, width=200, spp=spp)
         w, h = settings.width, settings.height
         kw = dict(
             width=w, height=h, spp=spp,

@@ -203,6 +203,99 @@ def test_persistent_noise_emitter_exact():
     np.testing.assert_allclose(fb, np.tile(val[:, None], (1, 3)), rtol=2e-4, atol=2e-5)
 
 
+def test_persistent_image_emitter_exact():
+    """A huge IMAGE-textured emitter around the camera: every camera ray hits
+    and terminates with radiance = texture(UV of hit point). Pins the whole
+    in-kernel image path — packed-RGB table, invtrig spherical UV, chunked
+    lane-gather, mantissa unpack — against the XLA texture path bit-close.
+    The 16x48 image spans 6 x 128-texel chunks, exercising the chunk loop."""
+    from raytracer_tpu.core.camera import camera_rays
+    from raytracer_tpu.geometry.intersect import intersect_scene
+    from raytracer_tpu.materials.textures import eval_texture
+    from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0.0, 1.0, (16, 48, 3)).astype(np.float32)
+    b = SceneBuilder(0)
+    tex = b.image(img)
+    light = b.diffuse_light(tex)
+    b.add_sphere((0, 0, 0), 100.0, light)
+    scene = b.build()
+    assert scene.has_image and scene_supports_persistent(scene)
+    w = 16
+    cam, settings = make_camera(
+        1.0, w, samples_per_pixel=1, max_depth=4, background=(9, 9, 9),
+        look_from=(0, 0, 0), look_at=(0.3, -0.2, -1),
+    )
+    fb, segs, iters = _render_persistent(scene, cam, settings, 1, 1024)
+    assert int(segs) == w * w
+
+    # Zero uniforms -> deterministic camera rays; recompute hit UVs and the
+    # expected texture emission with the jnp reference path.
+    frame = camera_frame(cam, w, w)
+    pix = np.arange(w * w, dtype=np.int32)
+    uni = np.zeros((w * w, 4), np.float32)
+    o, d = camera_rays(frame, jnp.asarray(pix % w), jnp.asarray(pix // w), jnp.asarray(uni))
+    ref = intersect_scene(scene, o, d)
+    want = np.asarray(
+        eval_texture(scene, jnp.full((w * w,), tex, jnp.int32), ref.u, ref.v, ref.point)
+    )
+    np.testing.assert_allclose(fb, want, rtol=2e-5, atol=2e-5)
+
+
+def test_persistent_image_gating():
+    """scene_supports_persistent: image scenes qualify only when single-image,
+    sphere-only, and within the texel budget."""
+    from raytracer_tpu.ops.persistent_kernel import (
+        MAX_IMAGE_TEXELS,
+        scene_supports_persistent,
+    )
+
+    img = np.zeros((4, 4, 3), np.float32)
+
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(img)))
+    assert scene_supports_persistent(b.build())
+
+    # Image texture on a quad -> fallback.
+    b = SceneBuilder(0)
+    b.add_quad((0, 0, -3), (1, 0, 0), (0, 1, 0), b.lambertian(b.image(img)))
+    assert not scene_supports_persistent(b.build())
+
+    # Two images -> fallback.
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(img)))
+    b.add_sphere((2, 0, -3), 1.0, b.lambertian(b.image(img + 0.5)))
+    assert not scene_supports_persistent(b.build())
+
+    # Over the texel budget -> fallback.
+    big = np.zeros((2, MAX_IMAGE_TEXELS // 2 + 64, 3), np.float32)
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(big)))
+    assert not scene_supports_persistent(b.build())
+
+
+def test_image_pack_roundtrip_exact():
+    """pack_image_table packs 8-bit-quantized texels exactly: unpacking the
+    f32 mantissa recovers k/255 bit-identically to the scene's stored image."""
+    from raytracer_tpu.ops.persistent_kernel import pack_image_table
+
+    rng = np.random.default_rng(9)
+    img = rng.uniform(0.0, 1.0, (8, 24, 3)).astype(np.float32)
+    b = SceneBuilder(0)
+    b.lambertian(b.image(img))
+    scene = b.build()
+    table = np.asarray(pack_image_table(scene))
+    flat = table.reshape(-1)[: 8 * 24]
+    r = np.floor(flat / 65536.0)
+    rem = flat - r * 65536.0
+    g = np.floor(rem / 256.0)
+    bl = rem - g * 256.0
+    got = np.stack([r, g, bl], -1).astype(np.float32) * np.float32(1.0 / 255.0)
+    want = np.asarray(scene.images[0]).reshape(-1, 3)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_persistent_multi_slot_schedule():
     """spp large enough that lanes own several strided samples (num_slots > 1)
     and the wavefront is smaller than the sample budget."""
