@@ -131,9 +131,13 @@ def main() -> None:
     # averages the path-length tail away; K=64 is the VMEM ceiling for the
     # double-buffered retirement log.
     def _wavefront_for(spp_, scn, st_):
+        from raytracer_tpu.integrator.wavefront import pick_wavefront
+
         k = 40 if scn.has_noise else 64
-        n_ = st_.width * st_.height
-        return int(min(max(-(-(n_ * spp_) // k), 1 << 16), 1 << 21))
+        coherent = scn.has_image or (scn.num_spheres + scn.num_quads > 512)
+        return pick_wavefront(
+            st_.width * st_.height, spp_, k, coherent=coherent
+        )
 
     wavefront = int(os.environ.get("RT_BENCH_WAVEFRONT", "0")) or _wavefront_for(spp, scene, settings)
     main_run = _measure_with_retry(scene, cam, settings, spp=spp, wavefront=wavefront, repeats=repeats)

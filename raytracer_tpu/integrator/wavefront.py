@@ -254,6 +254,65 @@ def regen_jump(n: int, n_pixels: int) -> int:
     return j
 
 
+def pick_wavefront(
+    n_pixels: int,
+    spp: int,
+    max_slots: int,
+    lo: int = 1 << 16,
+    hi: int = 1 << 21,
+    coherent: bool = True,
+) -> int:
+    """Choose the persistent-path wavefront size so the per-sample pixel
+    jump (regen_jump = n mod n_pixels) is SMALL.
+
+    Why: lane L's sample k lands on pixel (L + k*jump) mod n_pixels, so a
+    (rows x 128)-lane kernel tile always covers contiguous 8K-pixel strips —
+    but with the naive size (smallest tile multiple holding the sample
+    budget) the jump is effectively random, and as lanes drain to different
+    sample slots a tile's strips scatter over the whole image. A small jump
+    keeps successive slots' strips ADJACENT, so the dynamic gather bounds in
+    the persistent kernel (winner-primitive chunks, image-texel chunks) stay
+    narrow. Measured round 3: earth 64 -> 150+ Mrays/s from this choice
+    alone (docs/PERF_NOTES.md).
+
+    Exactness: only jump = n mod n_pixels preserves exact per-pixel spp for
+    arbitrary n (contiguous global sample ids sweep pixels — see regen_jump),
+    so the jump is controlled by choosing n. Candidates are tile multiples in
+    [max(lo, ceil(total/max_slots)), hi] (slot cap = the retirement-log VMEM
+    budget); prefer the smallest n whose jump is under ~2% of the image
+    (samples-per-lane stays near the cap, which drains best), falling back
+    to looser thresholds, then to the smallest candidate.
+
+    coherent=False skips the jump optimization (plain smallest-fit sizing):
+    strip coherence only pays when the kernel scans a gather band — image
+    textures or >512 primitives — and the small jump costs ~3% occupancy on
+    incoherent scenes (measured on rand_spheres: 168 -> 164 Mrays/s)."""
+    from raytracer_tpu.ops import intersect_kernel as ik
+
+    tile = ik.DEFAULT_ROWS * ik.LANES
+    total = n_pixels * spp
+    min_n = max(lo, -(-total // max_slots))
+    if not coherent:
+        n = -(-min(min_n, hi) // tile) * tile
+        return int(min(max(n, lo), hi))
+    m_lo = -(-min_n // tile)
+    m_hi = max(m_lo, hi // tile)
+    cands = []
+    for m in range(m_lo, m_hi + 1):
+        n = m * tile
+        j = n % n_pixels
+        if j == 0:  # static lane->pixel binding measured 2.7x slower
+            continue
+        cands.append((j, n))
+    if not cands:
+        return min(max(min_n, lo), hi)
+    for frac in (0.02, 0.05, 0.15):
+        ok = [n for j, n in cands if j <= frac * n_pixels]
+        if ok:
+            return min(ok)
+    return min(n for _, n in cands)
+
+
 def strided_schedule(n_pixels: int, spp: int, wavefront_size: int):
     """Static layout of the strided per-lane sample queue.
 

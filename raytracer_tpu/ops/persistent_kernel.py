@@ -17,22 +17,30 @@ a long glass path) wastes only its own tile for the extra iterations instead
 of stalling the full 512K-lane wavefront — the dominant occupancy loss of
 the round-1 design.
 
-Winner-row resolve uses Mosaic's lane-wise `dynamic_gather`
-(jnp.take_along_axis on same-shape 2D operands): the 13 shading/geometry
-values of the winning primitive are fetched from a lane-replicated VMEM
-table in ceil(P/128) gathers per value — a few hundred vector ops per bounce
-versus the ~7000 serial SMEM scalar reads of a fused in-loop resolve
-(measured 12x slower) or the ~1.3 ms/iter XLA row gather of round 1.
+Winner-row resolve and texel fetch use Mosaic's lane-wise `dynamic_gather`
+(jnp.take_along_axis on same-shape 2D operands) over a broadcast table row —
+reaching 128 entries per (broadcast + gather + compare + select) step. That
+scan is the VPU floor for a full-range per-lane fetch: the only per-lane
+data-movement primitives are the lane shuffle (axis=1) and the sublane
+shuffle (axis=0) within one (8, 128) vreg, and composing them does NOT form
+a 2D gather (take(take(blk, s, 0), o, 1)[r, c] = blk[s[r, o[r, c]],
+o[r, c]] — the sublane index of the SOURCE lane; measured round 3, see
+tools/probe_gather.py). What IS sublinear: the scan runs with DYNAMIC
+per-bounce bounds [min, max+1] over the indices the tile actually needs —
+the affine strided schedule keeps each tile's live samples in a few
+contiguous pixel strips, so hit texels / winner primitives cluster in a
+narrow chunk band (this bound is what lifted the earth scene past the
+100 Mrays/s target in round 3 — see docs/PERF_NOTES.md).
 
 Supported in-kernel texture kinds: SOLID, CHECKER, NOISE (the marble Perlin
 texture, recomputed per lane from the procedural hash tables —
 materials/perlin_hash.py), and IMAGE (nearest-neighbor spherical-UV lookup,
 materials.go:165-193): texels live in VMEM as 8-bit RGB packed exactly into
-one f32 mantissa each (one lane-gather per 128-texel chunk instead of three),
-and the UV angles use the Mosaic-compatible ops/invtrig.py (no inverse trig
-lowers on TPU). Scenes exceeding MAX_IMAGE_TEXELS, with multiple images, or
-with image textures on quads fall back to the round-1 front-half megakernel
-path (scene_supports_persistent).
+one f32 mantissa each (one lane-gather per 128-texel chunk instead of three
+per-channel fetches), and the UV angles use the Mosaic-compatible
+ops/invtrig.py (no inverse trig lowers on TPU). Scenes exceeding
+MAX_IMAGE_TEXELS, with multiple images, or with image textures on quads fall
+back to the round-1 front-half megakernel path (scene_supports_persistent).
 
 Estimator semantics are identical to integrator.wavefront.render_wavefront_
 regen (same camera math, same strided per-lane sample queues, same
@@ -100,10 +108,11 @@ RES_IMG = 13  # 1.0 -> image texture (UV-mapped, spheres only in-kernel)
 N_RES = 14
 
 # Largest image (texels) the persistent kernel shades in-kernel: the packed
-# table is H*W/128 VMEM rows and the per-bounce gather scans all of them, so
-# cost grows linearly; 256x512 (the earth stand-in) = 1024 chunks measured
-# ~2.3x faster than the megakernel-fallback path it replaces (PERF_NOTES).
-MAX_IMAGE_TEXELS = 256 * 512
+# table is H*W/128 VMEM rows; the per-bounce fetch scans only the dynamic
+# [min, max] chunk band the tile needs (pixel-strip locality), but the worst
+# case is linear and the f32 table must coexist with the (3*K*rows, 128)
+# retirement-log block in VMEM. 512x512 = 1 MB.
+MAX_IMAGE_TEXELS = 512 * 512
 
 # Sphere-UV phi offset quirk (hittables.go:124-125), kept equal to
 # geometry.intersect.SPHERE_UV_PHI_OFFSET.
@@ -264,21 +273,45 @@ def _persistent_kernel(
     dep_s[:] = izero
     log_ref[0, :, :] = jnp.zeros((3 * num_slots * rows, LANES), jnp.float32)
 
-    def resolve(col, prim_chunk, prim_off):
-        """Winner-row value for `col`: ceil(P/128) lane-gathers + selects.
-        Callers pass the winner id pre-split as (chunk, offset) — computed
-        once per bounce, not once per (column, chunk) — so the loop body is
-        broadcast + gather + compare + select only."""
+    def resolve_all(prim_chunk, prim_off, cmin, cmax):
+        """All N_RES winner-row values in ONE chunk scan: per chunk step, one
+        shared membership compare + N_RES (broadcast + lane-gather + select).
+
+        The scan covers the DYNAMIC chunk band [cmin, cmax] of the winner ids
+        actually present in the tile (2 reduces per bounce). With the affine
+        strided schedule a tile's live samples sit in a few contiguous pixel
+        strips, so winners cluster and the band is narrow — worst case
+        ceil(P/128) steps, same as the round-2 unbounded scan. Small scenes
+        (n_chunks <= 4) unroll statically instead: the dynamic loop's scalar
+        overhead exceeds the saved steps there."""
         if "resolve" in ablate:  # perf-bisection: constant-fold the resolve
-            return zero + (0.5 if col >= RES_C0 else (1.0 if col in (RES_G3, RES_PRM) else 0.0))
-        val = zero
-        for q in range(n_chunks):
-            tb = jnp.broadcast_to(
-                res_ref[col * n_chunks + q : col * n_chunks + q + 1, :], shape
+            return tuple(
+                zero + (0.5 if col >= RES_C0 else (1.0 if col in (RES_G3, RES_PRM) else 0.0))
+                for col in range(N_RES)
             )
-            g = jnp.take_along_axis(tb, prim_off, axis=1, mode="promise_in_bounds")
-            val = jnp.where(prim_chunk == q, g, val)
-        return val
+
+        n_cols = N_RES if has_image else N_RES - 1  # RES_IMG only when needed
+
+        def chunk_step(q, vals):
+            sel = prim_chunk == q
+            out = []
+            for col in range(n_cols):
+                tb = jnp.broadcast_to(
+                    res_ref[pl.ds(col * n_chunks + q, 1), :], shape
+                )
+                g = jnp.take_along_axis(
+                    tb, prim_off, axis=1, mode="promise_in_bounds"
+                )
+                out.append(jnp.where(sel, g, vals[col]))
+            return tuple(out) + vals[n_cols:]
+
+        init = tuple(zero for _ in range(N_RES))
+        if n_chunks <= 4:
+            vals = init
+            for q in range(n_chunks):
+                vals = chunk_step(q, vals)
+            return vals
+        return jax.lax.fori_loop(cmin, cmax + 1, chunk_step, init)
 
     def body(carry):
         it, segs, _ = carry
@@ -374,22 +407,18 @@ def _persistent_kernel(
         t = jnp.where(hit, t_s * inv_a, 0.0)  # back from scaled-t space
         primc = jnp.where(hit, prim, 0)
 
-        # ---- winner-row resolve: 13 lane-gathers, no scalar reads ----
+        # ---- winner-row resolve: N_RES lane-gathers over the dynamic
+        # winner-chunk band, no scalar reads ----
         prim_chunk = jax.lax.shift_right_logical(primc, 7)
         prim_off = primc & (LANES - 1)
-        g0 = resolve(RES_G0, prim_chunk, prim_off)
-        g1 = resolve(RES_G1, prim_chunk, prim_off)
-        g2 = resolve(RES_G2, prim_chunk, prim_off)
-        g3 = resolve(RES_G3, prim_chunk, prim_off)
-        mtype = resolve(RES_MT, prim_chunk, prim_off).astype(jnp.int32)
-        prm = resolve(RES_PRM, prim_chunk, prim_off)
-        c0x = resolve(RES_C0 + 0, prim_chunk, prim_off)
-        c0y = resolve(RES_C0 + 1, prim_chunk, prim_off)
-        c0z = resolve(RES_C0 + 2, prim_chunk, prim_off)
-        c1x = resolve(RES_C1 + 0, prim_chunk, prim_off)
-        c1y = resolve(RES_C1 + 1, prim_chunk, prim_off)
-        c1z = resolve(RES_C1 + 2, prim_chunk, prim_off)
-        its = resolve(RES_ITS, prim_chunk, prim_off)
+        pc_live = jnp.where(jnp.logical_and(active, hit), prim_chunk, 0)
+        pmin = jnp.min(jnp.where(jnp.logical_and(active, hit), prim_chunk, n_chunks))
+        pmax = jnp.max(pc_live)
+        (
+            g0, g1, g2, g3, mtype_f, prm,
+            c0x, c0y, c0z, c1x, c1y, c1z, its, imgflag,
+        ) = resolve_all(prim_chunk, prim_off, pmin, pmax)
+        mtype = mtype_f.astype(jnp.int32)
 
         # ---- hit epilogue: point, outward normal, front face ----
         ptx = ox + t * dx
@@ -434,11 +463,11 @@ def _persistent_kernel(
             # Image texture (materials.go:165-193): spherical UV with the
             # reference's phi-offset quirk (hittables.go:122-126) on the
             # normalized outward normal, nearest-neighbor texel fetch from the
-            # packed-RGB VMEM table (one lane-gather per 128-texel chunk; the
-            # 8-bit channels unpack exactly from the f32 mantissa). In-kernel
-            # image shading is gated to sphere-only image scenes
+            # packed-RGB VMEM table (one two-level gather per 1024-texel
+            # group; the 8-bit channels unpack exactly from the f32 mantissa).
+            # In-kernel image shading is gated to sphere-only image scenes
             # (scene_supports_persistent), so quad lanes never select it.
-            is_img = resolve(RES_IMG, prim_chunk, prim_off) > 0.5
+            is_img = imgflag > 0.5
             inv_nl = jax.lax.rsqrt(onx * onx + ony * ony + onz * onz + 1e-20)
             uny = jnp.clip(ony * inv_nl, -1.0, 1.0)
             theta = invtrig.acos(-uny)
@@ -449,17 +478,28 @@ def _persistent_kernel(
             iv = jnp.clip((vv * img_h).astype(jnp.int32), 0, img_h - 1)
             flat = iv * img_w + iu
             # Pre-split the texel index once; the chunk-scan body is then
-            # broadcast + gather + compare + select (4 vector ops), which is
-            # what bounds per-iteration cost at 1024 chunks (256x512 earth).
+            # broadcast + gather + compare + select (4 vector ops). The scan
+            # covers only the DYNAMIC [tmin, tmax] chunk band of texels that
+            # image-hit lanes actually need this bounce: the affine strided
+            # schedule keeps a tile's live samples in a few contiguous pixel
+            # strips, whose hit points map to a narrow theta (texture-row)
+            # band — measured 3-8x fewer steps than the full 1024-chunk scan
+            # on the 256x512 earth scene (docs/PERF_NOTES.md round 3).
             tchunk = jax.lax.shift_right_logical(flat, 7)
             toff = flat & (LANES - 1)
+            # Bounds over lanes whose texel is actually consumed (live hits):
+            # dead lanes re-intersect their stale last ray and must not widen
+            # the band.
+            img_need = jnp.logical_and(is_img, jnp.logical_and(active, hit))
+            tmin = jnp.min(jnp.where(img_need, tchunk, n_img_chunks))
+            tmax = jnp.max(jnp.where(img_need, tchunk, 0))
 
             def img_chunk(q, val):
                 tb = jnp.broadcast_to(img_ref[pl.ds(q, 1), :], shape)
                 g = jnp.take_along_axis(tb, toff, axis=1, mode="promise_in_bounds")
                 return jnp.where(tchunk == q, g, val)
 
-            pval = jax.lax.fori_loop(0, n_img_chunks, img_chunk, zero)
+            pval = jax.lax.fori_loop(tmin, tmax + 1, img_chunk, zero)
             ir_ = jnp.floor(pval * (1.0 / 65536.0))
             rem_ = pval - ir_ * 65536.0
             ig_ = jnp.floor(rem_ * (1.0 / 256.0))
@@ -654,13 +694,15 @@ def _persistent_kernel(
 
 
 def pack_persistent_tables(scene, qd):
-    """Pack intersect tables (S,4)/(Q,12) + the lane-replicated resolve table
+    """Pack intersect tables (S,4)/(Q,12) + the (8, 128)-group resolve table
     (N_RES * n_chunks, 128).
 
-    Textures may be SOLID, CHECKER, or procedural NOISE (encoded as a
-    negative turbulence scale in the is<0 slot); image textures are the one
-    unsupported kind (the caller gates on scene_supports_persistent). `qd`
-    is geometry.intersect.quad_derived(scene).
+    Textures may be SOLID, CHECKER, procedural NOISE (encoded as a negative
+    turbulence scale in the its slot), or IMAGE (the RES_IMG flag column;
+    texels ship separately via pack_image_table). The caller gates
+    remaining unsupported shapes — multi-image scenes, image-on-quad,
+    oversized or rng-table-Perlin scenes — on scene_supports_persistent.
+    `qd` is geometry.intersect.quad_derived(scene).
     """
     c2r2 = jnp.sum(scene.sph_center * scene.sph_center, -1) - scene.sph_radius**2
     c2r2 = jnp.where(scene.sph_radius == 0.0, 1e30, c2r2)
@@ -776,6 +818,11 @@ def scene_supports_persistent(scene) -> bool:
     if scene.has_noise and not scene.perlin_procedural:
         return False
     if scene.has_image:
+        if scene.bilinear_textures:
+            # The in-kernel fetch is nearest-neighbor (materials.go:184-192
+            # parity); a bilinear scene must use the XLA/megakernel texture
+            # path or it would silently render NN (advisor finding, round 2).
+            return False
         if scene.images.shape[0] != 1:
             return False
         if scene.images.shape[1] * scene.images.shape[2] > MAX_IMAGE_TEXELS:

@@ -370,8 +370,18 @@ def render_image(
         max_wavefront = 1 << 21
         max_slots = regen_max_slots(use_persistent, scene.has_noise)
         if use_persistent:
-            ideal = -(-(n * spp) // max_slots)
-            wavefront = int(min(max(ideal, 1 << 16), max_wavefront))
+            from raytracer_tpu.integrator.wavefront import pick_wavefront
+
+            # Sized for ~max_slots samples/lane AND (for scenes where the
+            # kernel scans a gather band — image texels, >512-primitive
+            # resolve) a small per-sample pixel jump that keeps the dynamic
+            # gather bounds narrow.
+            coherent = scene.has_image or (
+                scene.num_spheres + scene.num_quads > 4 * 128
+            )
+            wavefront = pick_wavefront(
+                n, spp, max_slots, hi=max_wavefront, coherent=coherent
+            )
         else:
             wavefront = int(max(target_rays_per_pass, min(n, max_wavefront)))
         spp_chunk = regen_spp_chunk(spp, n, wavefront, max_slots)
