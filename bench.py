@@ -68,17 +68,27 @@ def _measure(scene, cam, settings, *, spp, wavefront, repeats):
         and scene_supports_persistent(scene)
         and os.environ.get("RT_BENCH_PERSISTENT", "1") == "1"
     )
+    cluster_table = None
+    if persistent:
+        from raytracer_tpu.render.driver import (
+            CLUSTERED_SCENE_PRIMS,
+            cluster_for_render,
+        )
+
+        if scene.num_spheres + scene.num_quads > CLUSTERED_SCENE_PRIMS:
+            scene, cluster_table = cluster_for_render(scene, cam)
     kw = dict(
         width=w,
         height=h,
         spp=spp,
         wavefront_size=wavefront,
         max_depth=settings.max_depth,
-        sky_gradient=False,
+        sky_gradient=settings.sky_gradient,
         use_pallas=on_tpu,
         use_persistent=persistent,
         use_megakernel=on_tpu and not persistent,
         rr_max_q=0.75,
+        cluster_table=cluster_table,
         return_stats=True,
     )
     key = jax.random.PRNGKey(0)
@@ -178,6 +188,17 @@ def main() -> None:
             )
         except Exception as e:
             detail["cornell"] = {"error": str(e)[:200]}
+        # Large-scene scaling point: 10K-sphere grid through the in-kernel
+        # cluster-culled persistent path (the BVH analog, bvh.go:220-249).
+        # 64 spp so the drain tail does not dominate the number.
+        sc, cm, st = get_scene("rand_spheres_large", width=400, spp=64)
+        try:
+            detail["large_10k"] = _measure_with_retry(
+                sc, cm, st, spp=64,
+                wavefront=_wavefront_for(64, sc, st), repeats=repeats,
+            )
+        except Exception as e:
+            detail["large_10k"] = {"error": str(e)[:200]}
 
     print(
         json.dumps(

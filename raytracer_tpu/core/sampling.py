@@ -32,7 +32,10 @@ def unit_sphere_from_uniform(u):
 def hemisphere_from_uniform(u, normal):
     """Uniform on the hemisphere around `normal`.
 
-    Replaces vec3.go:194-201 (sample sphere, flip if against the normal).
+    API parity with vec3.go:194-201 (sample sphere, flip if against the
+    normal) — a PUBLIC function the reference itself never calls (grep:
+    no caller outside vec3.go; the book's alternative diffuse model).
+    Kept for reference-surface parity, unused by any render path here too.
     """
     v = unit_sphere_from_uniform(u)
     sign = jnp.where(jnp.sum(v * normal, axis=-1) < 0.0, -1.0, 1.0)

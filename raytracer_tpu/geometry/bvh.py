@@ -154,6 +154,87 @@ def build_bvh(scene: Scene, leaf_size: int = 4, use_native: bool = True) -> Flat
     )
 
 
+def cluster_scene(scene: Scene, max_leaf: int = 128):
+    """Cluster-order the scene's spheres along BVH subtree cuts (host, once
+    per scene) for the persistent kernel's in-kernel cluster culling.
+
+    Cuts the BVH at the shallowest subtrees holding <= max_leaf spheres and
+    emits each subtree's spheres contiguously, so a single (start, count)
+    range plus one AABB describes a spatial cluster — the TPU analog of the
+    reference's subtree skip during traversal (bvh.go:220-249): the kernel
+    slab-tests each cluster AABB per lane and a tile-uniform `lax.cond`
+    skips the cluster's sphere loop when no live lane can hit it.
+
+    Returns (scene with spheres permuted into cluster order — dummy radius-0
+    spheres dropped, they can never hit — and the cluster table (G, 8) f32
+    of [min(3), max(3), start, count]; start/count are exact in f32 for any
+    realistic scene size < 2^24). Quads are untouched (brute-force in
+    kernel). Materials/textures are shared tables keyed by sph_mat, so the
+    permutation only touches the three sphere arrays."""
+    ns = scene.num_spheres
+    bvh = build_bvh(scene, leaf_size=8)
+    skip = np.asarray(bvh.skip)
+    leaf_start = np.asarray(bvh.leaf_start)
+    leaf_count = np.asarray(bvh.leaf_count)
+    order = np.asarray(bvh.prim_order)
+    bmin, bmax = primitive_bounds(scene)
+
+    # Subtree sphere counts via the preorder/skip structure.
+    m = len(skip)
+    counts = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if leaf_start[i] >= 0:
+            prims = order[leaf_start[i] : leaf_start[i] + leaf_count[i]]
+            counts[i] = int((prims < ns).sum())
+        else:
+            left = i + 1
+            right = skip[left]
+            counts[i] = counts[left] + (counts[right] if right < m else 0)
+
+    cuts = []
+    i = 0
+    while i < m:
+        if counts[i] <= max_leaf or leaf_start[i] >= 0:
+            cuts.append(i)
+            i = skip[i]
+        else:
+            i += 1
+
+    perm: list[int] = []
+    cl_rows = []
+    for node in cuts:
+        start = len(perm)
+        j = node
+        end = skip[node]
+        while j < end:
+            if leaf_start[j] >= 0:
+                s, c = leaf_start[j], leaf_count[j]
+                perm.extend(int(p) for p in order[s : s + c] if p < ns)
+            j += 1
+        if len(perm) == start:
+            continue  # quad-only subtree
+        ids = perm[start:]
+        cl_rows.append(
+            np.concatenate(
+                [
+                    bmin[ids].min(axis=0),
+                    bmax[ids].max(axis=0),
+                    [float(start), float(len(ids))],
+                ]
+            )
+        )
+    if not perm:  # no real spheres: one dummy so shapes stay valid
+        perm = [0]
+        cl_rows = [np.array([0, 0, 0, 0, 0, 0, 0.0, 1.0])]
+    p = np.asarray(perm, np.int64)
+    scene_cl = scene.replace(
+        sph_center=scene.sph_center[p],
+        sph_radius=scene.sph_radius[p],
+        sph_mat=scene.sph_mat[p],
+    )
+    return scene_cl, jnp.asarray(np.stack(cl_rows), jnp.float32)
+
+
 def _slab_test(box_min, box_max, o, inv_d, t_min, t_max):
     """Branchless slab test (reference Aabb.Hit / InBoundary, bvh.go:52-102,
     strict `rT.min < rT.max`)."""

@@ -433,6 +433,7 @@ def render_wavefront_regen(
     use_megakernel: bool = False,
     use_persistent: bool = False,
     persistent_rows: int = 0,
+    cluster_table=None,
     return_stats: bool = False,
 ):
     """Render with *path regeneration*: a fixed-size wavefront where a lane
@@ -497,6 +498,7 @@ def render_wavefront_regen(
         use_megakernel=use_megakernel,
         use_persistent=use_persistent,
         persistent_rows=persistent_rows,
+        cluster_table=cluster_table,
         return_stats=return_stats,
     )
 
@@ -522,6 +524,7 @@ def regen_core(
     use_megakernel: bool = False,
     use_persistent: bool = False,
     persistent_rows: int = 0,
+    cluster_table=None,
     return_stats: bool = False,
 ):
     """Run the regenerative wavefront loop over an explicit per-lane schedule
@@ -562,7 +565,7 @@ def regen_core(
         sph_p, quad_p, res_p = pack_persistent_tables(scene, qd)
         img_p = pack_image_table(scene) if scene.has_image else None
         seed = jax.random.randint(key, (), 0, 1 << 30, jnp.int32)
-        log, segments, iters = render_persistent_pallas(
+        log, segments, iters, _clusters_entered = render_persistent_pallas(
             sph_p,
             quad_p,
             res_p,
@@ -572,6 +575,7 @@ def regen_core(
             init_px,
             init_py,
             img_p,
+            cluster_table,
             width=width,
             height=height,
             jump_px=jump_px,

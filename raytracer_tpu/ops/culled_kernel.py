@@ -1,4 +1,5 @@
-"""Pallas TPU kernel: cluster-culled closest-hit for LARGE scenes.
+"""Pallas TPU kernel: cluster-culled closest-hit for LARGE scenes
+(FALLBACK path — see note below).
 
 Brute force tests every sphere against every ray (~26 VPU ops per pair) —
 right for the reference's ~500 primitives (SIMD-coherent, VPU-bound), linear
@@ -6,21 +7,23 @@ in scene size. This kernel adds the TPU-idiomatic analog of BVH traversal:
 
 * Host side: primitives are grouped into G spatial clusters (taken from the
   BVH top levels) and the sphere table is laid out cluster-contiguous.
-* Rays are SORTED by (direction octant, origin cell) before the kernel (one
-  argsort + one row-gather permutation per bounce at the XLA level), so the
-  ~16K rays of a kernel tile are spatially/directionally coherent.
 * In-kernel, for each cluster: a cheap slab test of all tile rays against
   the cluster AABB, a vector->scalar any-reduce, and `lax.cond` SKIPS the
-  cluster's sphere loop when NO ray in the tile can hit it. With coherent
-  tiles most clusters are skipped, so cost scales with clusters-touched
-  instead of total primitives.
-
-Per-lane predication cannot skip work on 1024-lane vregs — only tile-uniform
-(scalar) conditions can, which is why the sort is essential: it converts
-per-ray divergence into per-tile uniformity. (SURVEY.md §7 "hard parts".)
+  cluster's sphere loop when NO ray in the tile can hit it. Camera rays
+  arrive in natural pixel order (coherent); with coherent tiles most
+  clusters are skipped, so cost scales with clusters-touched instead of
+  total primitives. Per-lane predication cannot skip work on 1024-lane
+  vregs — only tile-uniform (scalar) conditions can (SURVEY.md §7).
 
 Quads are tested brute-force (scenes with huge quad counts would cluster
 them the same way).
+
+ROUND-3 STATUS: large scenes the persistent kernel supports now run the
+same cluster-culling idea INSIDE ops/persistent_kernel.py (11x faster —
+docs/PERF_NOTES.md); this standalone kernel remains only as the fallback
+for large scenes the persistent kernel cannot shade in-kernel (rng-table
+Perlin, multiple images, image-on-quad, bilinear) via
+render/driver._render_large_scene.
 """
 
 from __future__ import annotations
@@ -306,24 +309,9 @@ def intersect_pallas_culled(
     return t, prim
 
 
-def sort_rays(origin, direction, scene_min, scene_inv_extent, cells: int = 8):
-    """Spatial/directional sort permutation for ray coherence.
-
-    Key = (direction octant << 3*log2(cells)) | morton-ish origin cell id.
-    Returns (perm, inv_perm) index arrays.
-    """
-    q = jnp.clip(
-        ((origin - scene_min) * scene_inv_extent * cells).astype(jnp.int32),
-        0,
-        cells - 1,
-    )
-    cell = (q[:, 0] * cells + q[:, 1]) * cells + q[:, 2]
-    octant = (
-        (direction[:, 0] > 0).astype(jnp.int32)
-        + 2 * (direction[:, 1] > 0).astype(jnp.int32)
-        + 4 * (direction[:, 2] > 0).astype(jnp.int32)
-    )
-    key = octant * (cells**3) + cell
-    perm = jnp.argsort(key)
-    inv_perm = jnp.argsort(perm)
-    return perm, inv_perm
+# (A ray-sorting permutation helper `sort_rays` lived here through round 2
+# but was never wired into a production path: the large-scene render now
+# happens INSIDE the persistent kernel, whose lanes cannot be permuted
+# mid-flight — coherence comes from the small-jump pixel schedule instead
+# (integrator.wavefront.pick_wavefront). Deleted round 3 per the
+# tested-but-unused housekeeping rule.)

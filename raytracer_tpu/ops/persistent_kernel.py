@@ -209,7 +209,7 @@ def _marble_i32(x, y, z, depth: int = 7):
 
 def _persistent_kernel(
     # scalar prefetch
-    sph_ref, quad_ref, cam_ref, seed_ref,
+    sph_ref, quad_ref, cl_ref, cam_ref, seed_ref,
     # VMEM in
     res_ref,  # (N_RES * n_chunks, 128) f32 — lane-replicated resolve table
     img_ref,  # (n_img_chunks, 128) f32 — packed-RGB image texels ((1,128) dummy)
@@ -243,6 +243,7 @@ def _persistent_kernel(
     img_w: int,
     n_img_chunks: int,
     max_iters: int,
+    n_clusters: int = 0,
     ablate: str = "",
 ):
     pid = pl.program_id(0)
@@ -314,7 +315,7 @@ def _persistent_kernel(
         return jax.lax.fori_loop(cmin, cmax + 1, chunk_step, init)
 
     def body(carry):
-        it, segs, _ = carry
+        it, segs, _, clent = carry
         act = act_s[:] > 0
         rem = rem_s[:]
 
@@ -383,16 +384,75 @@ def _persistent_kernel(
         sphere_body = chb.make_sphere_body(
             sph_ref, ox, oy, oz, dx, dy, dz, d_dot_o, o_sq, a, tmin_a
         )
+        hit_init = (jnp.full(shape, INF), jnp.full(shape, -1, jnp.int32))
 
-        # Mosaic fori_loop supports only full unroll; static per-sphere SMEM
-        # offsets let the scalar core run ahead of the VPU.
-        t_s, prim = jax.lax.fori_loop(
-            0,
-            ns,
-            sphere_body,
-            (jnp.full(shape, INF), jnp.full(shape, -1, jnp.int32)),
-            unroll=(ns if unroll and ns <= unroll else 1) or 1,
-        )
+        if n_clusters:
+            # Cluster-culled sphere loop (bvh.go:220-249 analog): spheres are
+            # cluster-contiguous (geometry.bvh.cluster_scene); per cluster, a
+            # per-lane AABB slab test + tile-uniform any-reduce lets
+            # `lax.cond` SKIP the 128-sphere inner loop when no live lane can
+            # still hit the cluster (shrinking scaled-t bound). Per-lane
+            # predication cannot skip vreg work — only tile-uniform scalar
+            # conditions can; the small-jump schedule keeps tiles coherent
+            # enough that most clusters skip.
+            _TINY = 1e-30  # NaN-robust slab: see ops/culled_kernel round-2 note
+
+            def _safe(v):
+                return jnp.where(
+                    jnp.abs(v) < _TINY, jnp.where(v < 0, -_TINY, _TINY), v
+                )
+
+            inv_dx = 1.0 / _safe(dx)
+            inv_dy = 1.0 / _safe(dy)
+            inv_dz = 1.0 / _safe(dz)
+
+            def cluster_body(ci, carry):
+                t_b, _, _ = carry
+                cb = ci * 8
+                tx0 = (cl_ref[cb + 0] - ox) * inv_dx
+                tx1 = (cl_ref[cb + 3] - ox) * inv_dx
+                lo = jnp.minimum(tx0, tx1)
+                hi = jnp.maximum(tx0, tx1)
+                ty0 = (cl_ref[cb + 1] - oy) * inv_dy
+                ty1 = (cl_ref[cb + 4] - oy) * inv_dy
+                lo = jnp.maximum(lo, jnp.minimum(ty0, ty1))
+                hi = jnp.minimum(hi, jnp.maximum(ty0, ty1))
+                tz0 = (cl_ref[cb + 2] - oz) * inv_dz
+                tz1 = (cl_ref[cb + 5] - oz) * inv_dz
+                lo = jnp.maximum(lo, jnp.minimum(tz0, tz1))
+                hi = jnp.minimum(hi, jnp.maximum(tz0, tz1))
+                lo = jnp.maximum(lo, T_MIN)
+                # Scaled-t compare space (t_b = t * a); dead lanes must not
+                # force the cluster in.
+                can_hit = jnp.logical_and(
+                    lo * a < jnp.minimum(hi * a, t_b), active
+                )
+                start = cl_ref[cb + 6].astype(jnp.int32)
+                count = cl_ref[cb + 7].astype(jnp.int32)
+                enter = jnp.any(can_hit)
+
+                def _enter(c):
+                    t, pr, ne = jax.lax.fori_loop(
+                        start, start + count, lambda i, tp: sphere_body(i, tp[:2]) + (tp[2],), c
+                    )
+                    return t, pr, ne + 1
+
+                return jax.lax.cond(enter, _enter, lambda c: c, carry)
+
+            t_s, prim, n_entered = jax.lax.fori_loop(
+                0, n_clusters, cluster_body, hit_init + (jnp.int32(0),)
+            )
+            clent = clent + n_entered
+        else:
+            # Mosaic fori_loop supports only full unroll; static per-sphere
+            # SMEM offsets let the scalar core run ahead of the VPU.
+            t_s, prim = jax.lax.fori_loop(
+                0,
+                ns,
+                sphere_body,
+                hit_init,
+                unroll=(ns if unroll and ns <= unroll else 1) or 1,
+            )
 
         quad_body = chb.make_quad_body(
             quad_ref, ox, oy, oz, dx, dy, dz, a, prim_offset=ns
@@ -678,17 +738,23 @@ def _persistent_kernel(
                 jnp.max(survives.astype(jnp.int32)) > 0, jnp.max(rem) > 0
             ).astype(jnp.int32)
             nsegs = segs + jnp.sum(active.astype(jnp.int32))
-        return (it + 1, nsegs, live)
+        return (it + 1, nsegs, live, clent)
 
-    it, segs, _ = jax.lax.while_loop(
+    it, segs, _, clent = jax.lax.while_loop(
         lambda c: jnp.logical_and(c[2] > 0, c[0] < max_iters),
         body,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(1)),
+        (jnp.int32(0), jnp.int32(0), jnp.int32(1), jnp.int32(0)),
     )
     row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     stats = jnp.where(
-        (row == 0) & (col == 0), segs, jnp.where((row == 0) & (col == 1), it, 0)
+        (row == 0) & (col == 0),
+        segs,
+        jnp.where(
+            (row == 0) & (col == 1),
+            it,
+            jnp.where((row == 0) & (col == 2), clent, 0),
+        ),
     )
     stats_ref[0, :, :] = stats
 
@@ -858,6 +924,7 @@ def render_persistent_pallas(
     px0,
     py0,
     img_table=None,
+    cluster_table=None,
     *,
     width: int,
     height: int,
@@ -888,9 +955,16 @@ def render_persistent_pallas(
       seed: () i32.
       rem0, px0, py0: (N,) i32 per-lane schedule init (samples owed, first
         pixel) — the strided queue of integrator.wavefront.
+      cluster_table ((G, 8) f32, optional): cluster AABB [min, max] + sphere
+        [start, count] rows from geometry.bvh.cluster_scene — the sphere
+        table MUST be cluster-ordered (pack the permuted scene). Enables the
+        in-kernel cluster-culled sphere loop for large scenes.
 
-    Returns (log (3, num_slots, N) f32, segments () i32, iters () i32).
-    `iters` is summed over tiles; occupancy = segments / (iters * rows * 128).
+    Returns (log (3, num_slots, N) f32, segments () i32, iters () i32,
+    clusters_entered () i32). `iters` is summed over tiles; occupancy =
+    segments / (iters * rows * 128). `clusters_entered` counts cluster
+    sphere-loops actually run (0 unless cluster_table is given); entered /
+    (iters * n_clusters) is the cull's skip-rate diagnostic.
     """
     n = rem0.shape[0]
     tile = rows * LANES
@@ -901,6 +975,12 @@ def render_persistent_pallas(
     if img_table is None:
         img_table = jnp.zeros((1, LANES), jnp.float32)
     n_img_chunks = img_table.shape[0]
+    n_clusters = 0 if cluster_table is None else int(cluster_table.shape[0])
+    cl_flat = (
+        jnp.zeros((8,), jnp.float32)
+        if cluster_table is None
+        else cluster_table.reshape(-1)
+    )
 
     ispec = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
     res_spec = pl.BlockSpec(
@@ -943,10 +1023,11 @@ def render_persistent_pallas(
         img_w=img_w,
         n_img_chunks=n_img_chunks,
         max_iters=max_iters,
+        n_clusters=n_clusters,
         ablate=ablate,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(grid,),
         in_specs=[res_spec, img_spec] + [ispec] * 3,
         out_specs=[log_spec, stats_spec],
@@ -973,11 +1054,16 @@ def render_persistent_pallas(
             dimension_semantics=("arbitrary",),
         ),
     )(
-        sph_table.reshape(-1), quad_table.reshape(-1), cam_scalars,
+        sph_table.reshape(-1), quad_table.reshape(-1), cl_flat, cam_scalars,
         jnp.asarray([seed], jnp.int32),
         res_table, img_table, planar(rem0), planar(px0), planar(py0),
     )
     # Block rows are (ch * K + k) * rows + r; lane = g * tile + r * 128 + c.
     log = log.reshape(grid, 3, num_slots, rows, LANES)
     log = jnp.transpose(log, (1, 2, 0, 3, 4)).reshape(3, num_slots, n)
-    return log, jnp.sum(stats[:, 0, 0]), jnp.sum(stats[:, 0, 1])
+    return (
+        log,
+        jnp.sum(stats[:, 0, 0]),
+        jnp.sum(stats[:, 0, 1]),
+        jnp.sum(stats[:, 0, 2]),
+    )

@@ -475,7 +475,17 @@ def render_image_sharded(
         )
         # Same chunk-sizing rule as render_image, scaled by the device count
         # (each device's share of a chunk is ceil(spp_chunk / n_dev)).
-        max_slots = regen_max_slots(use_persistent, scene.has_noise)
+        img_texels = (
+            int(scene.images.shape[1] * scene.images.shape[2])
+            if scene.has_image
+            else 0
+        )
+        max_slots = regen_max_slots(
+            use_persistent,
+            scene.has_noise,
+            scene.num_spheres + scene.num_quads,
+            img_texels,
+        )
         spp_chunk = regen_spp_chunk(spp, n, wavefront, max_slots, n_dev=n_dev)
         if metrics is not None:
             from raytracer_tpu.integrator.wavefront import strided_schedule

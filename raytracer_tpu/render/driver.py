@@ -26,22 +26,52 @@ from raytracer_tpu.render.postprocess import to_u8
 # against regeneration occupancy (measured best on v5e).
 DEFAULT_TARGET_RAYS_PER_PASS = 1 << 19
 
-# Above this primitive count the in-kernel paths stop working/paying:
-# the persistent kernel's VMEM/SMEM tables no longer fit (compile OOM at
-# 10K spheres) and the megakernel's in-kernel dense loop crawls (1.2 Mrays/s
-# at 10K). Large scenes render per-pass with the cluster-culled camera
-# intersector + dense-Pallas bounces (docs/PERF_NOTES.md round 2).
+# Above this primitive count the persistent kernel switches its sphere loop
+# to in-kernel cluster culling (geometry.bvh.cluster_scene + tile-uniform
+# lax.cond skips — the BVH-traversal analog of bvh.go:220-249): the dense
+# loop is linear in scene size, culling is ~linear in clusters *touched*.
+# Crossover measured on v5e sphere grids at 400x225@16spp: 1K prims dense
+# 22.6 vs clustered 19.9 Mrays/s, 2K 17.3 vs 18.4, 4K 10.9 vs 17.8
+# (docs/PERF_NOTES.md round 3).
+CLUSTERED_SCENE_PRIMS = 1536
+
+# Above this primitive count scenes the persistent kernel cannot serve
+# (unsupported textures) fall back to per-pass rendering with the culled
+# camera intersector + dense-Pallas bounces (docs/PERF_NOTES.md round 2).
 LARGE_SCENE_PRIMS = 4096
 
 
-def regen_max_slots(use_persistent: bool, has_noise: bool) -> int:
+def regen_max_slots(
+    use_persistent: bool,
+    has_noise: bool,
+    n_prims: int = 0,
+    img_texels: int = 0,
+) -> int:
     """Retirement-log slot budget per chunk of the regenerative wavefront.
 
-    The 40-slot cap on noise scenes is a PERSISTENT-KERNEL VMEM constraint
-    (the in-kernel Perlin shader adds ~6 MB of stack temporaries; K=64 OOMs
-    by 3.6 MB there, 40 fits — see the sizing note in render_image). The
+    The persistent kernel holds everything in the 16 MB VMEM: the
+    double-buffered (3*K*rows, 128) retirement-log block (~0.19 MB per
+    slot), the resolve table (N_RES * ceil(P/128) rows), the packed image
+    table, 18 (64, 128) state scratch buffers, and — on noise scenes —
+    ~6 MB of in-kernel Perlin stack temporaries. Solve for K under that
+    budget (validated against measured ceilings: 64 fits plain scenes, 40
+    noise scenes, and K=45 missed by 64 KB at grid 124 in round 2 — the
+    2 MB slack term absorbs the compiler's revolving buffers). The
     megakernel/XLA paths keep the log in HBM and always afford 64."""
-    return (40 if has_noise else 64) if use_persistent else 64
+    if not use_persistent:
+        return 64
+    budget = 16 << 20
+    fixed = 18 * (64 * 128 * 4)  # wavefront state scratch
+    fixed += 2 * 14 * (-(-max(n_prims, 128) // 128)) * 512  # resolve table
+    fixed += 2 * (-(-img_texels // 128)) * 512  # packed image table
+    if has_noise:
+        # In-kernel Perlin stack temporaries; constant back-solved from the
+        # measured K=40 ceiling on noise scenes (round 2).
+        fixed += int(5.8 * (1 << 20))
+    slack = 2 << 20
+    per_slot = 2 * 3 * 64 * 128 * 4
+    k = (budget - fixed - slack) // per_slot
+    return int(max(4, min(40 if has_noise else 64, k)))
 
 
 def regen_spp_chunk(
@@ -144,6 +174,7 @@ def _render_regen_fb(
     use_persistent: bool = False,
     persistent_rows: int = 0,
     rr_max_q: float = 0.95,
+    cluster_table=None,
     return_stats: bool = False,
 ):
     frame = camera_frame(cam, width, height)
@@ -163,6 +194,7 @@ def _render_regen_fb(
         use_persistent=use_persistent,
         persistent_rows=persistent_rows,
         rr_max_q=rr_max_q,
+        cluster_table=cluster_table,
         return_stats=return_stats,
     )
 
@@ -302,6 +334,42 @@ def _render_large_scene(
     return acc / jnp.float32(spp)
 
 
+# Host-side BVH clustering results keyed by the identity of the scene's
+# sphere-center array (kept alive by the cache entry, so ids cannot be
+# reused). Bounded: repeated renders of the same scene (bench loops,
+# spp-chunked renders) must not pay the ~0.2 s host build each call — it
+# measurably tripled wall time at 10K prims / 16 spp.
+_CLUSTER_CACHE: dict[int, tuple] = {}
+
+
+def _clustered_scene_cached(scene: Scene):
+    from raytracer_tpu.geometry.bvh import cluster_scene
+
+    key = id(scene.sph_center)
+    hit = _CLUSTER_CACHE.get(key)
+    if hit is None or hit[0] is not scene.sph_center:
+        hit = (scene.sph_center, *cluster_scene(scene))
+        if len(_CLUSTER_CACHE) >= 8:
+            _CLUSTER_CACHE.pop(next(iter(_CLUSTER_CACHE)))
+        _CLUSTER_CACHE[key] = hit
+    return hit[1], hit[2]
+
+
+def cluster_for_render(scene: Scene, cam: Camera):
+    """Cluster-order a large scene for the persistent kernel and sort the
+    cluster table front-to-back from the eye: camera rays (most segments)
+    find their nearest hit early, so the kernel's shrinking scaled-t bound
+    culls the remaining clusters — the ordered-traversal benefit of
+    bvh.go:225-232. Row order is free to permute (start/count index the
+    permuted sphere table, not the row position). Returns
+    (permuted scene, cluster_table)."""
+    scene, cluster_table = _clustered_scene_cached(scene)
+    centers = np.asarray((cluster_table[:, 0:3] + cluster_table[:, 3:6]) * 0.5)
+    eye = np.asarray(cam.look_from)
+    order = np.argsort(((centers - eye) ** 2).sum(axis=1))
+    return scene, cluster_table[order]
+
+
 def render_image(
     scene: Scene,
     cam: Camera,
@@ -331,20 +399,24 @@ def render_image(
     n = w * h
     key = jax.random.PRNGKey(seed)
 
+    n_prims = scene.num_spheres + scene.num_quads
     if (
         regenerative
         and jax.default_backend() == "tpu"
-        and scene.num_spheres + scene.num_quads > LARGE_SCENE_PRIMS
+        and n_prims > LARGE_SCENE_PRIMS
     ):
-        return _render_large_scene(
-            scene,
-            cam,
-            settings,
-            seed=seed,
-            progress=progress,
-            metrics=metrics,
-            target_rays_per_pass=target_rays_per_pass,
-        )
+        from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+
+        if not scene_supports_persistent(scene):
+            return _render_large_scene(
+                scene,
+                cam,
+                settings,
+                seed=seed,
+                progress=progress,
+                metrics=metrics,
+                target_rays_per_pass=target_rays_per_pass,
+            )
 
     if regenerative:
         from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
@@ -353,6 +425,11 @@ def render_image(
         use_pallas = on_tpu
         # Whole-loop-in-kernel fast path: solid/checker scenes on TPU.
         use_persistent = on_tpu and scene_supports_persistent(scene)
+        # Large scenes: permute spheres into BVH-cluster order and hand the
+        # persistent kernel the cluster table for in-kernel culling.
+        cluster_table = None
+        if use_persistent and n_prims > CLUSTERED_SCENE_PRIMS:
+            scene, cluster_table = cluster_for_render(scene, cam)
         # Wavefront sizing. Non-persistent paths: at least one full image
         # (capped) — chunking a big image through a small wavefront measured
         # 10x slower (per-call overheads + low occupancy); 1200x800@500spp
@@ -368,7 +445,14 @@ def render_image(
         # Perlin shader adds ~6 MB of stack temporaries, so noise scenes cap
         # lower (K=64 OOMs by 3.6 MB there; 40 fits).
         max_wavefront = 1 << 21
-        max_slots = regen_max_slots(use_persistent, scene.has_noise)
+        img_texels = (
+            int(scene.images.shape[1] * scene.images.shape[2])
+            if scene.has_image
+            else 0
+        )
+        max_slots = regen_max_slots(
+            use_persistent, scene.has_noise, n_prims, img_texels
+        )
         if use_persistent:
             from raytracer_tpu.integrator.wavefront import pick_wavefront
 
@@ -423,6 +507,7 @@ def render_image(
                 # lifts measured occupancy 0.43 -> 0.60 (105 vs 78 Mrays/s
                 # at 64 spp) while staying unbiased (RR throughput boost).
                 rr_max_q=0.75 if use_persistent else 0.95,
+                cluster_table=cluster_table,
                 return_stats=metrics is not None,
             )
             if metrics is not None:

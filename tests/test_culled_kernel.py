@@ -27,9 +27,9 @@ def test_culled_matches_dense(rng, monkeypatch):
     o = jnp.asarray(rng.uniform(-8, 8, (n, 3)).astype(np.float32))
     tgt = jnp.asarray(rng.uniform(-4, 4, (n, 3)).astype(np.float32))
     d = tgt - o
-    perm, invp = ck.sort_rays(
-        o, d, jnp.asarray([-8.0, -8.0, -8.0]), jnp.asarray([1 / 16.0] * 3)
-    )
+    # Natural ray order (the production fallback feeds pixel-ordered camera
+    # rays; the round-2 sort_rays helper was deleted as unwired).
+    perm = invp = jnp.arange(n)
 
     orig_call = pl.pallas_call
     monkeypatch.setattr(
@@ -93,14 +93,3 @@ def test_axis_aligned_ray_on_cluster_plane_not_culled(monkeypatch):
     np.testing.assert_allclose(np.asarray(t_c), np.asarray(ref.t), rtol=2e-4)
 
 
-def test_sort_rays_groups_by_key(rng):
-    n = 1024
-    o = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
-    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
-    perm, inv = ck.sort_rays(o, d, jnp.zeros(3), jnp.ones(3))
-    # inv is the inverse permutation.
-    np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)], np.arange(n))
-    # Octants are contiguous after sorting.
-    ds = np.asarray(d)[np.asarray(perm)]
-    octant = (ds[:, 0] > 0) + 2 * (ds[:, 1] > 0) + 4 * (ds[:, 2] > 0)
-    assert (np.diff(octant) >= 0).all()

@@ -109,6 +109,11 @@ def test_regen_slot_cap_scoped_to_persistent_kernel():
     assert regen_max_slots(use_persistent=True, has_noise=False) == 64
     assert regen_max_slots(use_persistent=False, has_noise=True) == 64
     assert regen_max_slots(use_persistent=False, has_noise=False) == 64
+    # VMEM-aware: big resolve tables / image tables shrink the slot budget
+    # (50K prims -> ~5.6 MB double-buffered resolve table).
+    assert regen_max_slots(True, False, n_prims=50000) < 64
+    assert regen_max_slots(True, False, n_prims=50000) >= 4
+    assert regen_max_slots(True, False, img_texels=256 * 512) == 64
     # Divisor preference: one executable serves every chunk.
     assert regen_spp_chunk(500, 90000, 1 << 19, 64) == 250
     # Multi-device form bounds the per-device ceil share.

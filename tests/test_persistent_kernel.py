@@ -312,3 +312,40 @@ def test_persistent_multi_slot_schedule():
     assert int(segs) == n_pix * spp
     expect = np.tile(np.array([1.0, 0.5, 0.25], np.float32) * spp, (n_pix, 1))
     np.testing.assert_allclose(fb, expect, rtol=1e-5, atol=1e-4)
+
+
+def test_persistent_cluster_culling_matches_dense():
+    """Cluster-culled sphere loop == dense sphere loop, bit-identical.
+
+    A mixed grid scene (spheres + a ground quad + an emitter) rendered twice
+    through the persistent kernel: once dense, once with the scene permuted
+    into cluster order + the cluster table (geometry.bvh.cluster_scene).
+    Culling only SKIPS clusters no live lane can hit, and per-lane paths/RNG
+    are unaffected by sphere table order (no t-ties in a grid), so the
+    framebuffers must match exactly."""
+    from raytracer_tpu.geometry.bvh import cluster_scene
+
+    rng = np.random.default_rng(11)
+    b = SceneBuilder(0)
+    lamb = b.lambertian((0.6, 0.5, 0.4))
+    metal = b.metal((0.8, 0.8, 0.8), 0.1)
+    light = b.diffuse_light((4.0, 4.0, 4.0))
+    mats = [lamb, metal, light]
+    for gx in range(6):
+        for gz in range(6):
+            c = (gx * 2.0 - 5.0, 0.4 + 0.2 * ((gx + gz) % 3), gz * 2.0 - 5.0)
+            b.add_sphere(c, 0.35, mats[(gx * 7 + gz) % 3])
+    b.add_quad((-20, 0, -20), (40, 0, 0), (0, 0, 40), lamb)
+    scene = b.build()
+    cam, settings = make_camera(
+        1.0, 24, samples_per_pixel=2, max_depth=6, background=(0.5, 0.6, 0.7),
+        look_from=(0, 6, 14), look_at=(0, 0, 0),
+    )
+    fb_dense, segs_d, _ = _render_persistent(scene, cam, settings, 2, 1024)
+    scene_cl, cl_table = cluster_scene(scene, max_leaf=8)
+    assert cl_table.shape[0] > 1  # actually exercises multiple clusters
+    fb_cl, segs_c, _ = _render_persistent(
+        scene_cl, cam, settings, 2, 1024, cluster_table=cl_table
+    )
+    assert int(segs_d) == int(segs_c)
+    np.testing.assert_array_equal(fb_dense, fb_cl)
