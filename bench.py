@@ -126,6 +126,60 @@ def _measure(scene, cam, settings, *, spp, wavefront, repeats):
     }
 
 
+def _measure_grad_step(
+    repeats: int, width: int = 200, height: int = 112, spp: int = 8,
+    max_depth: int = 16,
+):
+    """Median wall time of one jitted value_and_grad inverse-render step
+    (loss + scene-parameter gradients) on rand_spheres. Reported as
+    camera-ray rate; the fixed-depth scan traces width*height*spp*max_depth
+    lane-bounces forward AND rematerializes them in the backward pass."""
+    from functools import partial
+
+    from raytracer_tpu.diff.grad import render_loss, split_scene
+    from raytracer_tpu.scenes.registry import get_scene
+
+    scene, cam, _ = get_scene("rand_spheres", width=width, spp=spp)
+    params, rebuild = split_scene(scene)
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    lossfn = jax.jit(
+        jax.value_and_grad(
+            partial(
+                render_loss, rebuild=rebuild, cam=cam, target=target,
+                width=width, height=height, samples_per_pass=spp,
+                max_depth=max_depth,
+            )
+        )
+    )
+    key = jax.random.PRNGKey(7)
+
+    def step(k):
+        v, g = lossfn(params, key=k)
+        # Host sync (block_until_ready unreliable through the axon tunnel).
+        return float(v) + float(g["sph_center"].sum())
+
+    step(key)  # compile
+    step(jax.random.fold_in(key, 99))  # first post-compile step pays extra
+    walls = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        step(jax.random.fold_in(key, r))
+        walls.append(time.perf_counter() - t0)
+    dt = statistics.median_low(walls)
+    cam_rays = width * height * spp
+    return {
+        "step_wall_s": round(dt, 3),
+        "camera_mrays_per_s": round(cam_rays / dt / 1e6, 3),
+        "fixed_depth_lane_bounces_mrays_per_s": round(
+            cam_rays * max_depth / dt / 1e6, 2
+        ),
+        "size": [width, height],
+        "spp": spp,
+        "max_depth": max_depth,
+        "walls_s": [round(x, 3) for x in walls],
+    }
+
+
 def main() -> None:
     from raytracer_tpu.scenes.registry import get_scene
 
@@ -199,6 +253,15 @@ def main() -> None:
             )
         except Exception as e:
             detail["large_10k"] = {"error": str(e)[:200]}
+        # Differentiable-path point (BASELINE.json gradient axis): one
+        # inverse-render optimization step — MSE loss + grads w.r.t. sphere
+        # centers/radii/albedos — on the 500-sphere scene at a non-toy
+        # config, through the checkpointed-scan integrator with the Pallas
+        # forward intersector (geometry.intersect.intersect_scene_pallas_diff).
+        try:
+            detail["grad"] = _measure_grad_step(repeats=repeats)
+        except Exception as e:
+            detail["grad"] = {"error": str(e)[:200]}
 
     print(
         json.dumps(

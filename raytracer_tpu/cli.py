@@ -65,9 +65,6 @@ def main(argv=None) -> None:
         "(must divide the device count)",
     )
     args = ap.parse_args(argv)
-    if args.shard and args.checkpoint:
-        ap.error("--shard and --checkpoint are mutually exclusive (the "
-                 "checkpointed renderer is single-device)")
     if args.sample_parallel != 1 and not args.shard:
         ap.error("--sample-parallel requires --shard")
 
@@ -94,7 +91,7 @@ def main(argv=None) -> None:
     )
     t0 = time.perf_counter()
     with profiler_trace("out/trace" if args.profile else None):
-        if args.checkpoint:
+        if args.checkpoint and not args.shard:
             import numpy as np
             import jax as _jax
 
@@ -121,6 +118,7 @@ def main(argv=None) -> None:
             linear = render_image_sharded(
                 scene, cam, settings, mesh, seed=args.seed,
                 progress=True, metrics=metrics,
+                checkpoint_path=args.checkpoint,
             )
             img = np.asarray(jax.device_get(to_u8(linear)))
         else:

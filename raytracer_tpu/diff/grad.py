@@ -73,7 +73,10 @@ def render_linear_diff(
     """Differentiable single-pass render: per-pixel *mean* linear radiance.
 
     Same sampling as render/driver.render_pass but through the checkpointed
-    scan integrator.
+    scan integrator. On TPU the closest hit runs through the Pallas fused
+    kernel (intersect_scene_pallas_diff: kernel on stop-gradient inputs,
+    winner t recomputed differentiably) instead of the dense (N, S)
+    candidate matrices — the round-3 diff-path fast backend.
     """
     n = width * height
     k = samples_per_pass
@@ -82,6 +85,12 @@ def render_linear_diff(
     key_cam, key_trace = jax.random.split(key)
     uniforms = jax.random.uniform(key_cam, (k * n, 4), jnp.float32)
     o, d = camera_rays(frame, pix % width, pix // width, uniforms)
+    if jax.default_backend() == "tpu":
+        from raytracer_tpu.geometry.intersect import intersect_scene_pallas_diff
+
+        intersect_fn = intersect_scene_pallas_diff
+    else:
+        intersect_fn = None
     radiance = trace(
         scene,
         o,
@@ -91,6 +100,8 @@ def render_linear_diff(
         max_depth=max_depth,
         sky_gradient=sky_gradient,
         differentiable=True,
+        intersect_fn=intersect_fn,
+        intersect_fn_differentiable=intersect_fn is not None,
     )
     return radiance.reshape(k, n, 3).mean(axis=0).reshape(height, width, 3)
 

@@ -253,6 +253,93 @@ def intersect_scene_pallas(
     return resolve_hits(scene, qd, origin, direction, t, prim)
 
 
+def _winner_t_diff(scene, qd, origin, direction, prim, t_nd, t_min):
+    """Differentiable recompute of the winning candidate's t.
+
+    Same per-primitive math as _sphere_candidate_t / _quad_candidate_t
+    (hittables.go:96-116, 167-173) evaluated only at the winner row, so
+    gradients flow through sphere center/radius (and quad q/u/v via
+    quad_derived) by implicit selection: the argmin itself is treated as
+    locally constant (correct a.e.; visibility-boundary terms are the
+    diff.boundary module's job). Miss lanes keep t_nd (+inf) with all
+    branch inputs masked finite (double-where) so no NaN*0 poisons the VJP.
+    """
+    ns = scene.num_spheres
+    hit = jnp.isfinite(t_nd)
+    primc = jnp.where(hit, prim, 0)
+    is_quad = primc >= ns
+    sidx = jnp.minimum(primc, ns - 1)
+    qidx = jnp.clip(primc - ns, 0, scene.num_quads - 1)
+
+    c = scene.sph_center[sidx]
+    r = scene.sph_radius[sidx]
+    oc = origin - c
+    a = vm.length_sq(direction)
+    half_b = vm.dot(direction, oc)
+    cq = vm.length_sq(oc) - r * r
+    disc = half_b * half_b - a * cq
+    disc_ok = disc > 0.0
+    sq = jnp.sqrt(jnp.where(disc_ok, disc, 1.0))
+    sq = jnp.where(disc_ok, sq, 0.0)
+    inv_a = 1.0 / a
+    t0 = (-half_b - sq) * inv_a
+    t1 = (-half_b + sq) * inv_a
+    t_s = jnp.where(t0 > t_min, t0, t1)  # kernel's nearest-then-far choice
+
+    n = qd.normal[qidx]
+    d_n = vm.dot(direction, n)
+    denom_ok = jnp.abs(d_n) >= QUAD_DENOM_EPS
+    safe_dn = jnp.where(denom_ok, d_n, 1.0)
+    t_q = (qd.d[qidx] - vm.dot(origin, n)) / safe_dn
+
+    t = jnp.where(is_quad, t_q, t_s)
+    return jnp.where(hit, t, t_nd)
+
+
+def intersect_scene_pallas_diff(
+    scene: Scene, origin, direction, t_min: float = DEFAULT_T_MIN
+) -> HitRecord:
+    """Differentiable closest hit with a PALLAS forward (the diff-path fast
+    backend, round-3 VERDICT item 3).
+
+    The fused kernel finds the winner (t, prim) on stop-gradient inputs —
+    no cotangent ever reaches the pallas_call, so it needs no VJP — and the
+    winner's t is then RECOMPUTED differentiably from the scene arrays
+    (_winner_t_diff), feeding the fully differentiable resolve_hits
+    epilogue. Numerically the recomputed t matches the kernel's to fp
+    rounding (same formulas, different association). Rays are padded to the
+    kernel tile with far dummies and sliced back.
+    """
+    from raytracer_tpu.ops import intersect_kernel as ik
+
+    if t_min != ik.T_MIN:
+        raise ValueError(
+            f"intersect_scene_pallas_diff compiles t_min={ik.T_MIN}; got {t_min}"
+        )
+    sg = jax.lax.stop_gradient
+    scene_ng = jax.tree_util.tree_map(sg, scene)
+    o_ng = sg(origin)
+    d_ng = sg(direction)
+    n = origin.shape[0]
+    tile = ik.DEFAULT_ROWS * ik.LANES
+    pad = (-n) % tile
+    if pad:
+        o_ng = jnp.concatenate(
+            [o_ng, jnp.full((pad, 3), 1e7, origin.dtype)], axis=0
+        )
+        d_ng = jnp.concatenate(
+            [d_ng, jnp.ones((pad, 3), direction.dtype)], axis=0
+        )
+    sph_table = ik.pack_sphere_table(scene_ng.sph_center, scene_ng.sph_radius)
+    quad_table = ik.pack_quad_table(quad_derived(scene_ng))
+    t_nd, prim = ik.intersect_pallas(sph_table, quad_table, o_ng, d_ng)
+    t_nd, prim = t_nd[:n], prim[:n]
+
+    qd = quad_derived(scene)
+    t = _winner_t_diff(scene, qd, origin, direction, prim, t_nd, t_min)
+    return resolve_hits(scene, qd, origin, direction, t, prim)
+
+
 class LargeSceneTables(NamedTuple):
     """Precomputed device tables for the large-scene intersectors: the dense
     Pallas tables plus the BVH-derived cluster tables of ops/culled_kernel.

@@ -141,6 +141,7 @@ def trace(
     uniform_seq=None,
     intersect_fn=None,
     first_bounce_intersect_fn=None,
+    intersect_fn_differentiable: bool = False,
     fixed_trip_count: bool = False,
 ):
     """Trace a batch of rays to completion; returns radiance (N, 3)
@@ -156,7 +157,11 @@ def trace(
     `first_bounce_intersect_fn` additionally peels bounce 0 out of the loop
     with its own backend — the large-scene path feeds coherent camera rays
     to the cluster-culled kernel there and dense Pallas afterwards. Neither
-    composes with differentiable=True (Pallas kernels have no VJP).
+    composes with differentiable=True (Pallas kernels have no VJP) UNLESS
+    the caller passes intersect_fn_differentiable=True, asserting the
+    override routes no cotangent into a Pallas call (e.g.
+    geometry.intersect.intersect_scene_pallas_diff, whose kernel runs on
+    stop-gradient inputs and whose t is recomputed differentiably).
     """
     n = origin.shape[0]
     dtype = origin.dtype
@@ -177,8 +182,9 @@ def trace(
         uniform_seq=uniform_seq, intersect_fn=intersect_fn,
     )
 
-    assert not (differentiable and (intersect_fn or first_bounce_intersect_fn)), \
-        "Pallas intersector overrides have no VJP; use the default backend"
+    assert intersect_fn_differentiable or not (
+        differentiable and (intersect_fn or first_bounce_intersect_fn)
+    ), "Pallas intersector overrides have no VJP; use the default backend"
     if first_bounce_intersect_fn is not None:
         init = _bounce_step(
             scene, packed, background, sky_gradient, init,

@@ -58,12 +58,21 @@ def make_sphere_body(sph_ref, ox, oy, oz, dx, dy, dz, d_dot_o, o_sq, a, tmin_a):
     return sphere_body
 
 
-def make_quad_body(quad_ref, ox, oy, oz, dx, dy, dz, a, prim_offset):
+def make_quad_body(quad_ref, ox, oy, oz, dx, dy, dz, a, prim_offset,
+                   carry_uv: bool = False):
     """Quad candidate body. `prim id` recorded is prim_offset + qi (callers
-    pass their sphere count so quads number after spheres)."""
+    pass their sphere count so quads number after spheres).
+
+    carry_uv=True threads the winner's (alpha, beta) plane coordinates
+    through the carry — (t, prim, alpha, beta) — for kernels that shade
+    image textures on quads in-kernel (quad UV = (alpha, beta),
+    hittables.go:183-194)."""
 
     def quad_body(qi, carry):
-        t_best, p_best = carry
+        if carry_uv:
+            t_best, p_best, a_best, b_best = carry
+        else:
+            t_best, p_best = carry
         qb = qi * 12
         nx = quad_ref[qb]
         ny = quad_ref[qb + 1]
@@ -99,9 +108,15 @@ def make_quad_body(quad_ref, ox, oy, oz, dx, dy, dz, a, prim_offset):
         )
         t_cand = jnp.where(ok, t * a, INF)  # scaled-t space (module note)
         better = t_cand < t_best
-        return (
+        out = (
             jnp.where(better, t_cand, t_best),
             jnp.where(better, prim_offset + qi, p_best),
         )
+        if carry_uv:
+            out = out + (
+                jnp.where(better, alpha, a_best),
+                jnp.where(better, beta, b_best),
+            )
+        return out
 
     return quad_body

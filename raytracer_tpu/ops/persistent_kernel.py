@@ -34,13 +34,16 @@ narrow chunk band (this bound is what lifted the earth scene past the
 
 Supported in-kernel texture kinds: SOLID, CHECKER, NOISE (the marble Perlin
 texture, recomputed per lane from the procedural hash tables —
-materials/perlin_hash.py), and IMAGE (nearest-neighbor spherical-UV lookup,
-materials.go:165-193): texels live in VMEM as 8-bit RGB packed exactly into
-one f32 mantissa each (one lane-gather per 128-texel chunk instead of three
-per-channel fetches), and the UV angles use the Mosaic-compatible
-ops/invtrig.py (no inverse trig lowers on TPU). Scenes exceeding
-MAX_IMAGE_TEXELS, with multiple images, or with image textures on quads fall
-back to the round-1 front-half megakernel path (scene_supports_persistent).
+materials/perlin_hash.py), and IMAGE (nearest-neighbor lookup,
+materials.go:165-193) on spheres AND quads with any number of images:
+texels live in VMEM as 8-bit RGB packed exactly into one f32 mantissa each
+(one lane-gather per 128-texel chunk instead of three per-channel fetches),
+images pack back-to-back with per-primitive base offsets and true dims in
+the resolve table, sphere UV angles use the Mosaic-compatible
+ops/invtrig.py (no inverse trig lowers on TPU), and quad UV rides the
+intersect carry. Scenes exceeding MAX_IMAGE_TEXELS (total padded texels) or
+using bilinear filtering fall back to the round-1 front-half megakernel
+path (scene_supports_persistent).
 
 Estimator semantics are identical to integrator.wavefront.render_wavefront_
 regen (same camera math, same strided per-lane sample queues, same
@@ -104,8 +107,9 @@ RES_PRM = 5  # metal fuzz | dielectric ior
 RES_C0 = 6  # 3 — albedo / solid / checker-even color
 RES_C1 = 9  # 3 — checker-odd color
 RES_ITS = 12  # 1/checker-scale (0 -> solid)
-RES_IMG = 13  # 1.0 -> image texture (UV-mapped, spheres only in-kernel)
-N_RES = 14
+RES_IMG = 13  # 1 + texel base offset for image textures, 0 otherwise
+RES_IMGWH = 14  # true_width * 4096 + true_height (exact in f32 < 2^24)
+N_RES = 15
 
 # Largest image (texels) the persistent kernel shades in-kernel: the packed
 # table is H*W/128 VMEM rows; the per-bounce fetch scans only the dynamic
@@ -291,7 +295,8 @@ def _persistent_kernel(
                 for col in range(N_RES)
             )
 
-        n_cols = N_RES if has_image else N_RES - 1  # RES_IMG only when needed
+        # RES_IMG / RES_IMGWH only gathered when the scene has image textures.
+        n_cols = N_RES if has_image else N_RES - 2
 
         def chunk_step(q, vals):
             sel = prim_chunk == q
@@ -454,14 +459,26 @@ def _persistent_kernel(
                 unroll=(ns if unroll and ns <= unroll else 1) or 1,
             )
 
+        quad_carry_uv = bool(has_image and nq)
         quad_body = chb.make_quad_body(
-            quad_ref, ox, oy, oz, dx, dy, dz, a, prim_offset=ns
+            quad_ref, ox, oy, oz, dx, dy, dz, a, prim_offset=ns,
+            carry_uv=quad_carry_uv,
         )
 
-        t_s, prim = jax.lax.fori_loop(
-            0, nq, quad_body, (t_s, prim),
-            unroll=(nq if unroll and nq <= unroll else 1) or 1,
-        )
+        if quad_carry_uv:
+            # Thread the winning quad's (alpha, beta) through the carry —
+            # the in-kernel image fetch uses them as the quad UV
+            # (hittables.go:183-194; sphere winners never read them).
+            t_s, prim, qalpha, qbeta = jax.lax.fori_loop(
+                0, nq, quad_body, (t_s, prim, zero, zero),
+                unroll=(nq if unroll and nq <= unroll else 1) or 1,
+            )
+        else:
+            qalpha = qbeta = zero
+            t_s, prim = jax.lax.fori_loop(
+                0, nq, quad_body, (t_s, prim),
+                unroll=(nq if unroll and nq <= unroll else 1) or 1,
+            )
 
         hit = t_s < INF
         t = jnp.where(hit, t_s * inv_a, 0.0)  # back from scaled-t space
@@ -476,7 +493,7 @@ def _persistent_kernel(
         pmax = jnp.max(pc_live)
         (
             g0, g1, g2, g3, mtype_f, prm,
-            c0x, c0y, c0z, c1x, c1y, c1z, its, imgflag,
+            c0x, c0y, c0z, c1x, c1y, c1z, its, imgflag, imgwh,
         ) = resolve_all(prim_chunk, prim_off, pmin, pmax)
         mtype = mtype_f.astype(jnp.int32)
 
@@ -523,20 +540,36 @@ def _persistent_kernel(
             # Image texture (materials.go:165-193): spherical UV with the
             # reference's phi-offset quirk (hittables.go:122-126) on the
             # normalized outward normal, nearest-neighbor texel fetch from the
-            # packed-RGB VMEM table (one two-level gather per 1024-texel
-            # group; the 8-bit channels unpack exactly from the f32 mantissa).
-            # In-kernel image shading is gated to sphere-only image scenes
-            # (scene_supports_persistent), so quad lanes never select it.
+            # packed-RGB VMEM table (one lane-gather per 128-texel chunk; the
+            # 8-bit channels unpack exactly from the f32 mantissa). Multiple
+            # images pack back-to-back at static Hpad*Wpad strides; the
+            # winner's base offset rides RES_IMG (1 + base) and its TRUE
+            # dims ride RES_IMGWH (w*4096 + h), so any hittable — sphere UV
+            # from the normal (invtrig), quad UV from the carried
+            # (alpha, beta) — shades in-kernel (materials.go:165-193).
             is_img = imgflag > 0.5
+            img_base = jnp.maximum(imgflag - 1.0, 0.0).astype(jnp.int32)
+            w_t = jnp.floor(imgwh * (1.0 / 4096.0))
+            h_t = imgwh - w_t * 4096.0
+            w_t = jnp.maximum(w_t, 1.0)
+            h_t = jnp.maximum(h_t, 1.0)
             inv_nl = jax.lax.rsqrt(onx * onx + ony * ony + onz * onz + 1e-20)
             uny = jnp.clip(ony * inv_nl, -1.0, 1.0)
             theta = invtrig.acos(-uny)
             phi = invtrig.atan2(-onz * inv_nl, onx * inv_nl) + PI
-            uu = jnp.clip((phi + SPHERE_UV_PHI_OFFSET) * (1.0 / TWO_PI), 0.0, 1.0)
-            vv = 1.0 - jnp.clip(theta * (1.0 / PI), 0.0, 1.0)
-            iu = jnp.clip((uu * img_w).astype(jnp.int32), 0, img_w - 1)
-            iv = jnp.clip((vv * img_h).astype(jnp.int32), 0, img_h - 1)
-            flat = iv * img_w + iu
+            uu_s = jnp.clip((phi + SPHERE_UV_PHI_OFFSET) * (1.0 / TWO_PI), 0.0, 1.0)
+            vv_s = 1.0 - jnp.clip(theta * (1.0 / PI), 0.0, 1.0)
+            uu = jnp.where(is_quad, jnp.clip(qalpha, 0.0, 1.0), uu_s)
+            vv = jnp.where(is_quad, 1.0 - jnp.clip(qbeta, 0.0, 1.0), vv_s)
+            iu = jnp.clip(
+                (uu * w_t).astype(jnp.int32), 0, w_t.astype(jnp.int32) - 1
+            )
+            iv = jnp.clip(
+                (vv * h_t).astype(jnp.int32), 0, h_t.astype(jnp.int32) - 1
+            )
+            # Row stride is the PADDED width (images share a padded (H, W)
+            # on the Scene); iu/iv stay within the true dims.
+            flat = img_base + iv * img_w + iu
             # Pre-split the texel index once; the chunk-scan body is then
             # broadcast + gather + compare + select (4 vector ops). The scan
             # covers only the DYNAMIC [tmin, tmax] chunk band of texels that
@@ -785,6 +818,10 @@ def pack_persistent_tables(scene, qd):
         axis=1,
     )
 
+    # Texel base offset per image: images pack back-to-back at the PADDED
+    # (H, W) stride (static shapes under jit; true dims ride RES_IMGWH).
+    img_stride = int(scene.images.shape[1] * scene.images.shape[2])
+
     def shading_cols(mat_id):
         mtype = scene.mat_type[mat_id].astype(jnp.float32)
         tex = scene.mat_tex[mat_id]
@@ -802,11 +839,22 @@ def pack_persistent_tables(scene, qd):
             jnp.where(is_noise, -scale, 0.0),
         )
         prm = jnp.where(is_metal, scene.mat_fuzz[mat_id], scene.mat_ior[mat_id])
-        timg = jnp.logical_and(ttype == TEX_IMAGE, ~is_metal).astype(jnp.float32)
-        return mtype, prm, c0, c1, its, timg
+        is_img = jnp.logical_and(ttype == TEX_IMAGE, ~is_metal)
+        iid = scene.tex_image[tex]
+        timg = jnp.where(
+            is_img, 1.0 + iid.astype(jnp.float32) * float(img_stride), 0.0
+        )
+        dims = scene.image_dims[iid]  # (.., 2) true (H, W)
+        twh = jnp.where(
+            is_img,
+            dims[:, 1].astype(jnp.float32) * 4096.0
+            + dims[:, 0].astype(jnp.float32),
+            4097.0,  # harmless 1x1 for non-image prims
+        )
+        return mtype, prm, c0, c1, its, timg, twh
 
-    mt_s, prm_s, c0_s, c1_s, its_s, img_s = shading_cols(scene.sph_mat)
-    mt_q, prm_q, c0_q, c1_q, its_q, img_q = shading_cols(scene.quad_mat)
+    mt_s, prm_s, c0_s, c1_s, its_s, img_s, twh_s = shading_cols(scene.sph_mat)
+    mt_q, prm_q, c0_q, c1_q, its_q, img_q, twh_q = shading_cols(scene.quad_mat)
     safe_r = jnp.where(scene.sph_radius != 0.0, scene.sph_radius, 1.0)
     inv_r = jnp.where(scene.sph_radius != 0.0, 1.0 / safe_r, 0.0)
 
@@ -826,6 +874,7 @@ def pack_persistent_tables(scene, qd):
         jnp.concatenate([c1_s[:, 2], c1_q[:, 2]]),
         jnp.concatenate([its_s, its_q]),  # ITS
         jnp.concatenate([img_s, img_q]),  # IMG
+        jnp.concatenate([twh_s, twh_q]),  # IMGWH
     ]
     p = cols[0].shape[0]
     n_chunks = -(-p // LANES)
@@ -852,8 +901,10 @@ def pack_camera_scalars_bg(frame, background) -> jnp.ndarray:
 
 
 def pack_image_table(scene):
-    """Pack scene.images[0] into a (ceil(H*W/128), 128) f32 table of
-    r*65536 + g*256 + b integer texels.
+    """Pack ALL of scene.images into a (ceil(I*H*W/128), 128) f32 table of
+    r*65536 + g*256 + b integer texels, images back-to-back at the padded
+    (H, W) stride (image i's texel (y, x) sits at i*H*W + y*W + x; the
+    RES_IMG resolve column carries each primitive's base offset).
 
     Texels are quantized to 8-bit at scene build time (SceneBuilder.image),
     so round(v*255) recovers the integer channels exactly and the packed
@@ -861,8 +912,7 @@ def pack_image_table(scene):
     (floor-divide chain) is therefore bit-consistent with the XLA path's
     stored k/255 values. Traceable (pure jnp) so the sharded path can pack
     under shard_map."""
-    img = scene.images[0]  # (H, W, 3); static shape
-    k = jnp.round(img * 255.0)
+    k = jnp.round(scene.images * 255.0)  # (I, H, W, 3); static shape
     packed = (k[..., 0] * 65536.0 + k[..., 1] * 256.0 + k[..., 2]).astype(jnp.float32)
     flat = packed.reshape(-1)
     pad = (-flat.shape[0]) % LANES
@@ -872,37 +922,26 @@ def pack_image_table(scene):
 
 def scene_supports_persistent(scene) -> bool:
     """The in-kernel shader covers SOLID + CHECKER + NOISE (procedural
-    Perlin) + IMAGE textures with all four materials. Noise requires the
-    hash-procedural tables (scene.perlin_procedural) — rng-filled tables
-    would need in-kernel gathers, which Mosaic cannot vectorize. Image
-    support requires: a single image, on spheres only (quad UV is not
-    resolved in-kernel), within the VMEM texel budget. Larger/multi-image
-    scenes use the front-half megakernel path.
-
-    Call with a CONCRETE scene (the driver's eager gate) — the quad-texture
-    check reads array values."""
+    Perlin) + IMAGE textures with all four materials, on spheres AND quads,
+    any number of images (round 3: quad UV rides the intersect carry, the
+    winner's texel base/dims ride the resolve table). Remaining gates:
+    noise requires the hash-procedural tables (scene.perlin_procedural —
+    rng-filled tables would need in-kernel gathers, which Mosaic cannot
+    vectorize); the total padded texel footprint must fit the VMEM budget;
+    and bilinear image filtering is not implemented in-kernel (the fetch is
+    nearest-neighbor, materials.go:184-192 parity — a bilinear scene must
+    use the XLA/megakernel texture path or it would silently render NN;
+    advisor finding, round 2)."""
     if scene.has_noise and not scene.perlin_procedural:
         return False
     if scene.has_image:
         if scene.bilinear_textures:
-            # The in-kernel fetch is nearest-neighbor (materials.go:184-192
-            # parity); a bilinear scene must use the XLA/megakernel texture
-            # path or it would silently render NN (advisor finding, round 2).
             return False
-        if scene.images.shape[0] != 1:
+        total = (
+            scene.images.shape[0] * scene.images.shape[1] * scene.images.shape[2]
+        )
+        if total > MAX_IMAGE_TEXELS:
             return False
-        if scene.images.shape[1] * scene.images.shape[2] > MAX_IMAGE_TEXELS:
-            return False
-        if scene.num_quads:
-            quad_tex = scene.tex_type[scene.mat_tex[scene.quad_mat]]
-            # Dummy/padded quads (u = v = 0, never hit) point at material 0
-            # arbitrarily — only non-degenerate quads count.
-            real = jnp.logical_or(
-                jnp.sum(scene.quad_u * scene.quad_u, -1) > 0.0,
-                jnp.sum(scene.quad_v * scene.quad_v, -1) > 0.0,
-            )
-            if bool(jnp.any(jnp.logical_and(real, quad_tex == TEX_IMAGE))):
-                return False
     return True
 
 

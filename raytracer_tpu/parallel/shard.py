@@ -165,6 +165,7 @@ def render_regen_sharded(
     use_megakernel: bool = False,
     use_persistent: bool = False,
     rr_max_q: float = 0.95,
+    cluster_table=None,
     return_stats: bool = False,
 ):
     """The production fast path, sharded: every device runs the full
@@ -221,6 +222,7 @@ def render_regen_sharded(
             use_pallas=use_pallas,
             use_megakernel=use_megakernel,
             use_persistent=use_persistent,
+            cluster_table=cluster_table,  # replicated closure capture
             return_stats=True,
         )
         axes = (TILE_AXIS, SAMPLE_AXIS)
@@ -432,6 +434,8 @@ def render_image_sharded(
     regenerative: bool = True,
     progress: bool = False,
     metrics=None,
+    checkpoint_path: str | None = None,
+    max_chunks: int | None = None,
 ) -> jnp.ndarray:
     """Full sharded render; returns linear mean radiance (H, W, 3).
 
@@ -443,6 +447,16 @@ def render_image_sharded(
     immediately, traced-segment/iteration totals once at the end (iteration
     counts SUM over devices; occupancy is per-device-lane basis, matching
     the single-device report).
+
+    checkpoint_path: resumable sharded rendering (round-3 VERDICT item 4) —
+    the regenerative chunk loop checkpoints exactly like the single-device
+    render_with_checkpoints (same fingerprint machinery, per-chunk
+    background saves, refusal on config mismatch). Chunk keys are
+    fold_in(PRNGKey(seed), chunk) and per-device keys derive from the mesh
+    position, so a resumed sharded render is bit-identical to an
+    uninterrupted one on the same mesh shape (the fingerprint pins the mesh
+    axes/sizes). max_chunks stops early after that many chunks (testing /
+    cooperative preemption; the checkpoint holds the partial sums).
     """
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
     key = jax.random.PRNGKey(seed)
@@ -450,24 +464,36 @@ def render_image_sharded(
     if regenerative:
         from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
         from raytracer_tpu.render.driver import (
+            CLUSTERED_SCENE_PRIMS,
             LARGE_SCENE_PRIMS,
+            cluster_for_render,
             regen_max_slots,
             regen_spp_chunk,
         )
 
         on_tpu = jax.default_backend() == "tpu"
-        # Past LARGE_SCENE_PRIMS the in-kernel paths stop compiling/paying
-        # (driver.py's large-scene note); dispatch the sharded large-scene
-        # renderer: BVH-cluster-culled camera rays + dense Pallas bounces on
-        # every device, over contiguous pixel-coherent blocks, with zero
-        # collectives.
-        large = scene.num_spheres + scene.num_quads > LARGE_SCENE_PRIMS
-        if large and on_tpu:
+        n_prims = scene.num_spheres + scene.num_quads
+        supports = scene_supports_persistent(scene)
+        # Large scenes the persistent kernel can shade run the SAME sharded
+        # regen path with in-kernel cluster culling (round 3 — one code path
+        # for every scale); only unsupported-texture large scenes dispatch
+        # the fallback sharded per-pass renderer (culled camera rays + dense
+        # Pallas bounces, zero collectives).
+        large = n_prims > LARGE_SCENE_PRIMS
+        if large and on_tpu and not supports:
+            if checkpoint_path:
+                raise ValueError(
+                    "checkpointing is not supported on the sharded "
+                    "large-scene fallback path (unsupported-texture scene)"
+                )
             return render_large_scene_sharded(
                 scene, cam, settings, mesh, seed=seed,
                 progress=progress, metrics=metrics,
             )
-        use_persistent = on_tpu and not large and scene_supports_persistent(scene)
+        use_persistent = on_tpu and supports
+        cluster_table = None
+        if use_persistent and n_prims > CLUSTERED_SCENE_PRIMS:
+            scene, cluster_table = cluster_for_render(scene, cam)
         n_dev = mesh.devices.size
         n = w * h
         wavefront = int(
@@ -503,45 +529,101 @@ def render_image_sharded(
         acc = jnp.zeros((h, w, 3), jnp.float32)
         done = 0
         chunk_idx = 0
-        chunk_stats = []  # device scalars; synced once after the last chunk
-        while done < spp:
-            step_spp = min(spp_chunk, spp - done)
-            out = render_regen_sharded(
-                scene,
-                cam,
-                jax.random.fold_in(key, chunk_idx),
-                mesh=mesh,
-                width=w,
-                height=h,
-                spp=step_spp,
-                wavefront_per_device=wavefront,
-                max_depth=settings.max_depth,
-                sky_gradient=settings.sky_gradient,
-                use_pallas=on_tpu,
-                use_megakernel=on_tpu and not use_persistent and not large,
-                use_persistent=use_persistent,
-                rr_max_q=0.75 if use_persistent else 0.95,
-                return_stats=metrics is not None,
+        saver = None
+        fingerprint = ""
+        if checkpoint_path:
+            from raytracer_tpu.render.checkpoint import (
+                BackgroundSaver,
+                RenderCheckpoint,
+                config_fingerprint,
+                load_checkpoint,
             )
-            if metrics is not None:
-                fb, segments, _iters_max, iters_sum = out
-                chunk_stats.append((segments, iters_sum))
-            else:
-                fb = out
-            acc = acc + fb
-            done += step_spp
-            chunk_idx += 1
-            if metrics is not None:
-                metrics.update(done)
-            if progress:
-                print(f"spp {done}/{spp}", flush=True)
+
+            fingerprint = config_fingerprint(
+                scene, cam, settings, spp_chunk, seed,
+                extra=(
+                    "sharded",
+                    tuple(mesh.axis_names),
+                    tuple(int(s) for s in mesh.devices.shape),
+                    wavefront,
+                    on_tpu,
+                    use_persistent,
+                ),
+            )
+            ck = load_checkpoint(checkpoint_path)
+            if ck is not None:
+                if ck.config_hash != fingerprint:
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path} was written under a "
+                        "different scene/camera/settings/mesh configuration; "
+                        "refusing to resume (delete it to restart)"
+                    )
+                done, acc, chunk_idx = (
+                    ck.done_spp, jnp.asarray(ck.acc), ck.chunk_idx
+                )
+                if progress:
+                    print(f"resumed at {done}/{spp} spp", flush=True)
+            saver = BackgroundSaver(checkpoint_path)
+        chunk_stats = []  # device scalars; synced once after the last chunk
+        chunks_run = 0
+        try:
+            while done < spp:
+                if max_chunks is not None and chunks_run >= max_chunks:
+                    break
+                step_spp = min(spp_chunk, spp - done)
+                out = render_regen_sharded(
+                    scene,
+                    cam,
+                    jax.random.fold_in(key, chunk_idx),
+                    mesh=mesh,
+                    width=w,
+                    height=h,
+                    spp=step_spp,
+                    wavefront_per_device=wavefront,
+                    max_depth=settings.max_depth,
+                    sky_gradient=settings.sky_gradient,
+                    use_pallas=on_tpu,
+                    use_megakernel=on_tpu and not use_persistent,
+                    use_persistent=use_persistent,
+                    rr_max_q=0.75 if use_persistent else 0.95,
+                    cluster_table=cluster_table,
+                    return_stats=metrics is not None,
+                )
+                if metrics is not None:
+                    fb, segments, _iters_max, iters_sum = out
+                    chunk_stats.append((segments, iters_sum))
+                else:
+                    fb = out
+                acc = acc + fb
+                done += step_spp
+                chunk_idx += 1
+                chunks_run += 1
+                if saver is not None:
+                    saver.submit(
+                        RenderCheckpoint(
+                            acc=acc,
+                            done_spp=done,
+                            seed=seed,
+                            chunk_idx=chunk_idx,
+                            config_hash=fingerprint,
+                        )
+                    )
+                if metrics is not None:
+                    metrics.update(done)
+                if progress:
+                    print(f"spp {done}/{spp}", flush=True)
+        finally:
+            if saver is not None:
+                saver.wait()
+        if saver is not None:
+            saver.raise_errors()
         if metrics is not None and chunk_stats:
             metrics.update(
                 done,
                 segments=sum(int(s) for s, _ in chunk_stats),
                 iters=sum(int(i) for _, i in chunk_stats),
             )
-        return acc / jnp.float32(spp)
+        return acc / jnp.float32(max(done, 1))
 
     k = sharded_samples_per_pass(spp, w * h, mesh, target_rays_per_pass)
     passes = spp // k

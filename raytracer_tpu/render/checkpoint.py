@@ -98,6 +98,41 @@ def load_checkpoint(path: str) -> RenderCheckpoint | None:
         )
 
 
+class BackgroundSaver:
+    """One worker thread writing checkpoints off the dispatch loop
+    (compute/IO overlap — reference analog: camera.go:224-252 pipelines
+    rendering with ordered chunk writing). A newer checkpoint supersedes a
+    queued older one (cancel-if-not-started), so at most one save runs and
+    one waits — bounds pinned accumulator copies. close() drains the queue
+    and surfaces any save error. Shared by the single-device and sharded
+    renderers so the overlap/backpressure rules cannot drift."""
+
+    def __init__(self, path: str):
+        import concurrent.futures
+
+        self._path = path
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._futures: list = []
+
+    def submit(self, ckpt: RenderCheckpoint) -> None:
+        if self._futures and self._futures[-1].cancel():
+            self._futures.pop()
+        self._futures.append(
+            self._pool.submit(save_checkpoint, self._path, ckpt)
+        )
+
+    def wait(self) -> None:
+        """Drain the queue (call from `finally` — never raises, so a render
+        error in flight is not masked by a save error)."""
+        self._pool.shutdown(wait=True)
+
+    def raise_errors(self) -> None:
+        """Surface any save error (call after the render loop succeeded)."""
+        for f in self._futures:
+            if not f.cancelled():
+                f.result()
+
+
 def render_with_checkpoints(
     scene: Scene,
     cam: Camera,
@@ -148,18 +183,11 @@ def render_with_checkpoints(
 
     key = jax.random.PRNGKey(seed)
     chunks_run = 0
-    # Compute/IO overlap (reference analog: camera.go:224-252 pipelines
-    # rendering with ordered chunk writing): checkpoint writes — a
-    # device->host fetch + npz save — run on a single background worker
-    # thread, so neither the fetch DMA nor the host encode ever blocks the
-    # dispatch loop. One worker keeps saves ordered; fail-stop mid-chunk
-    # loses at most the last chunk's save, which resume re-renders.
-    saver = None
-    save_futures: list = []
-    if checkpoint_path:
-        import concurrent.futures
-
-        saver = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    # Checkpoint writes — a device->host fetch + npz save — run on the
+    # BackgroundSaver worker, so neither the fetch DMA nor the host encode
+    # blocks the dispatch loop. Fail-stop mid-chunk loses at most the last
+    # chunk's save, which resume re-renders.
+    saver = BackgroundSaver(checkpoint_path) if checkpoint_path else None
     try:
         while done < spp:
             if max_chunks is not None and chunks_run >= max_chunks:
@@ -186,31 +214,21 @@ def render_with_checkpoints(
             chunk_idx += 1
             chunks_run += 1
             if saver is not None:
-                # Backpressure: a newer checkpoint supersedes a queued older
-                # one — cancel it if it has not started, so at most one save
-                # runs and one waits (bounds pinned accumulator copies).
-                if save_futures and save_futures[-1].cancel():
-                    save_futures.pop()
-                save_futures.append(
-                    saver.submit(
-                        save_checkpoint,
-                        checkpoint_path,
-                        RenderCheckpoint(
-                            acc=acc,
-                            done_spp=done,
-                            seed=seed,
-                            chunk_idx=chunk_idx,
-                            config_hash=fingerprint,
-                        ),
+                saver.submit(
+                    RenderCheckpoint(
+                        acc=acc,
+                        done_spp=done,
+                        seed=seed,
+                        chunk_idx=chunk_idx,
+                        config_hash=fingerprint,
                     )
                 )
             if progress:
                 print(f"spp {done}/{spp}", flush=True)
     finally:
         if saver is not None:
-            saver.shutdown(wait=True)
-    for f in save_futures:
-        if not f.cancelled():
-            f.result()  # surface any save error
+            saver.wait()
+    if saver is not None:
+        saver.raise_errors()
 
     return acc / jnp.float32(max(done, 1))

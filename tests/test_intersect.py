@@ -192,3 +192,55 @@ def test_closest_of_overlapping():
     )
     np.testing.assert_allclose(float(rec.t[0]), 2.0, rtol=1e-6)
     assert int(rec.prim_id[0]) == 0
+
+
+def test_pallas_diff_intersector_value_and_grad_parity():
+    """intersect_scene_pallas_diff == intersect_scene in value AND in
+    gradient (w.r.t. sphere center/radius and ray origin/direction): the
+    kernel runs on stop-gradient inputs, the winner's t is recomputed
+    differentiably, so d(sum t)/d(params) must match the dense path's."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from raytracer_tpu.geometry.intersect import (
+        intersect_scene,
+        intersect_scene_pallas_diff,
+    )
+    from raytracer_tpu.geometry.scene import SceneBuilder
+
+    rng = np.random.default_rng(21)
+    b = SceneBuilder(0)
+    m = b.lambertian((0.5, 0.5, 0.5))
+    for _ in range(9):
+        b.add_sphere(rng.uniform(-4, 4, 3), rng.uniform(0.5, 1.3), m)
+    b.add_quad((-6, -2, -6), (12, 0, 0), (0, 0, 12), m)
+    scene = b.build()
+    n = 256
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32)) - o * 0.3
+
+    def loss(fn, center, radius, o_, d_):
+        sc = scene.replace(sph_center=center, sph_radius=radius)
+        rec = fn(sc, o_, d_)
+        t = jnp.where(rec.hit, rec.t, 0.0)
+        return jnp.sum(t * t), rec
+
+    with pltpu.force_tpu_interpret_mode():
+        (v_p, rec_p), g_p = jax.value_and_grad(
+            lambda *a: loss(intersect_scene_pallas_diff, *a),
+            argnums=(0, 1, 2, 3),
+            has_aux=True,
+        )(scene.sph_center, scene.sph_radius, o, d)
+    (v_d, rec_d), g_d = jax.value_and_grad(
+        lambda *a: loss(intersect_scene, *a), argnums=(0, 1, 2, 3), has_aux=True
+    )(scene.sph_center, scene.sph_radius, o, d)
+
+    np.testing.assert_array_equal(np.asarray(rec_p.hit), np.asarray(rec_d.hit))
+    np.testing.assert_array_equal(
+        np.asarray(rec_p.prim_id), np.asarray(rec_d.prim_id)
+    )
+    np.testing.assert_allclose(float(v_p), float(v_d), rtol=1e-5)
+    for gp, gd, name in zip(g_p, g_d, ("center", "radius", "origin", "dir")):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gd), rtol=2e-4, atol=2e-5, err_msg=name
+        )

@@ -244,8 +244,9 @@ def test_persistent_image_emitter_exact():
 
 
 def test_persistent_image_gating():
-    """scene_supports_persistent: image scenes qualify only when single-image,
-    sphere-only, and within the texel budget."""
+    """scene_supports_persistent: image scenes qualify on spheres AND quads
+    with any number of images (round 3); only the total padded texel budget
+    and bilinear filtering gate the path."""
     from raytracer_tpu.ops.persistent_kernel import (
         MAX_IMAGE_TEXELS,
         scene_supports_persistent,
@@ -257,22 +258,35 @@ def test_persistent_image_gating():
     b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(img)))
     assert scene_supports_persistent(b.build())
 
-    # Image texture on a quad -> fallback.
+    # Image texture on a quad: supported in-kernel since round 3.
     b = SceneBuilder(0)
     b.add_quad((0, 0, -3), (1, 0, 0), (0, 1, 0), b.lambertian(b.image(img)))
-    assert not scene_supports_persistent(b.build())
+    assert scene_supports_persistent(b.build())
 
-    # Two images -> fallback.
+    # Two images: supported (back-to-back packing + base offsets).
     b = SceneBuilder(0)
     b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(img)))
     b.add_sphere((2, 0, -3), 1.0, b.lambertian(b.image(img + 0.5)))
-    assert not scene_supports_persistent(b.build())
+    assert scene_supports_persistent(b.build())
 
-    # Over the texel budget -> fallback.
+    # Over the total texel budget -> fallback.
     big = np.zeros((2, MAX_IMAGE_TEXELS // 2 + 64, 3), np.float32)
     b = SceneBuilder(0)
     b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(big)))
     assert not scene_supports_persistent(b.build())
+
+    # Two images whose PADDED footprint exceeds the budget -> fallback
+    # (images pad to a common (H, W) on the Scene).
+    big2 = np.zeros((4, MAX_IMAGE_TEXELS // 8 + 64, 3), np.float32)
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(big2)))
+    b.add_sphere((2, 0, -3), 1.0, b.lambertian(b.image(big2 + 0.1)))
+    assert not scene_supports_persistent(b.build())
+
+    # Bilinear filtering is not implemented in-kernel -> fallback.
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(img)))
+    assert not scene_supports_persistent(b.build(bilinear_textures=True))
 
 
 def test_image_pack_roundtrip_exact():
@@ -349,3 +363,55 @@ def test_persistent_cluster_culling_matches_dense():
     )
     assert int(segs_d) == int(segs_c)
     np.testing.assert_array_equal(fb_dense, fb_cl)
+
+
+def test_persistent_image_on_quad_and_multi_image_exact():
+    """IMAGE textures on a QUAD plus a SECOND image on a sphere, both
+    emitters: every camera ray terminates at the first hit with radiance =
+    texture(UV), pinned bit-close against the XLA texture path. Exercises
+    the round-3 in-kernel additions: quad UV via the intersect carry, and
+    multi-image base offsets + per-image true dims in the resolve table
+    (images deliberately different sizes so padding strides matter)."""
+    from raytracer_tpu.core.camera import camera_rays
+    from raytracer_tpu.geometry.intersect import intersect_scene
+    from raytracer_tpu.materials.textures import eval_texture
+    from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+
+    rng = np.random.default_rng(9)
+    img_a = rng.uniform(0.0, 1.0, (12, 20, 3)).astype(np.float32)
+    img_b = rng.uniform(0.0, 1.0, (24, 10, 3)).astype(np.float32)
+    b = SceneBuilder(0)
+    tex_a = b.image(img_a)
+    tex_b = b.image(img_b)
+    light_a = b.diffuse_light(tex_a)
+    light_b = b.diffuse_light(tex_b)
+    # Quad fills the left of the frame, sphere the right; camera at origin.
+    b.add_quad((-4.0, -2.0, -3.0), (3.5, 0, 0), (0, 4, 0), light_a)
+    b.add_sphere((2.0, 0.0, -3.0), 1.4, light_b)
+    scene = b.build()
+    assert scene.has_image and scene_supports_persistent(scene)
+    assert scene.images.shape[0] == 2
+
+    w = 16
+    cam, settings = make_camera(
+        1.0, w, samples_per_pixel=1, max_depth=4, background=(9, 9, 9),
+        look_from=(0, 0, 0), look_at=(0, 0, -1), fov_degrees=90,
+    )
+    fb, segs, iters = _render_persistent(scene, cam, settings, 1, 1024)
+
+    frame = camera_frame(cam, w, w)
+    pix = np.arange(w * w, dtype=np.int32)
+    uni = np.zeros((w * w, 4), np.float32)
+    o, d = camera_rays(
+        frame, jnp.asarray(pix % w), jnp.asarray(pix // w), jnp.asarray(uni)
+    )
+    ref = intersect_scene(scene, o, d)
+    tex_ids = np.where(np.asarray(ref.prim_id) == 1, tex_a, tex_b)  # sphere=0
+    want = np.asarray(
+        eval_texture(scene, jnp.asarray(tex_ids, jnp.int32), ref.u, ref.v, ref.point)
+    )
+    want = np.where(np.asarray(ref.hit)[:, None], want, [9.0, 9.0, 9.0])
+    hits_quad = (np.asarray(ref.hit) & (np.asarray(ref.prim_id) >= 1)).sum()
+    hits_sph = (np.asarray(ref.hit) & (np.asarray(ref.prim_id) == 0)).sum()
+    assert hits_quad > 10 and hits_sph > 10  # both primitives exercised
+    np.testing.assert_allclose(fb, want, rtol=2e-5, atol=2e-5)
