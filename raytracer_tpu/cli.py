@@ -64,11 +64,18 @@ def main(argv=None) -> None:
         help="with --shard: devices cooperating on the same pixels "
         "(must divide the device count)",
     )
+    ap.add_argument(
+        "--no-bucket",
+        action="store_true",
+        help="disable scene-table size bucketing (bucketing lets scenes with "
+        "nearby table sizes share one jit executable; the image is "
+        "bit-identical either way — see geometry.scene.bucket_size)",
+    )
     args = ap.parse_args(argv)
     if args.sample_parallel != 1 and not args.shard:
         ap.error("--sample-parallel requires --shard")
 
-    overrides = {}
+    overrides = {"bucket": not args.no_bucket}
     if args.width is not None:
         overrides["width"] = args.width
     if args.spp is not None:

@@ -801,6 +801,15 @@ def _fold_log(log, num_slots, n, n_pixels, jump, segments, iters, return_stats):
     pad = chunks * n_pixels - n
     log = jnp.pad(log, ((0, 0), (0, 0), (0, pad)))
     per_slot = log.reshape(3, num_slots, chunks, n_pixels).sum(axis=2)  # (3,K,n)
+    # XLA:TPU miscompiles the fusion of [pad + reshape + chunk-sum] with the
+    # K-way roll-accumulate below when the wavefront is SMALLER than the
+    # pixel count (observed at 600x600, n=294912: the final slot's zero rows
+    # read as the previous slot's data, giving exactly spp+1 samples on the
+    # first K*n - total pixels; other shapes abort with opaque INTERNAL /
+    # FAILED_PRECONDITION launch errors). The barrier materializes per_slot
+    # and splits that fusion — verified to restore exact per-pixel sample
+    # counts (tests/test_integrator.py::test_fold_log_small_wavefront_*).
+    per_slot = jax.lax.optimization_barrier(per_slot)
     fb = jnp.zeros((n_pixels, 3), log.dtype)
     for k in range(num_slots):
         offset = (k * jump) % n_pixels

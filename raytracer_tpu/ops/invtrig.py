@@ -52,6 +52,14 @@ def atan2(y, x):
     atan2(+-y, 0) = +-pi/2, atan2(0, x<0) = pi."""
     xs = jnp.where(x == 0.0, 1e-30, x)
     base = atan(y / xs)
+    # Exact x == 0 column: the 1e-30 substitute relies on y/1e-30 overflowing
+    # past tan(3pi/8), which fails for |y| <~ 2.4e-30 — select the true +-pi/2
+    # instead so the IEEE contract holds for ALL nonzero y.
+    base = jnp.where(
+        jnp.logical_and(x == 0.0, y != 0.0),
+        jnp.where(y < 0.0, -_PI_2, _PI_2),
+        base,
+    )
     # Sign of y including signed zero (atan2(-0.0, x<0) = -pi): IEEE division
     # by a signed zero yields a signed infinity, so 1/y distinguishes -0.0
     # without a bit-cast (which Mosaic may not lower).

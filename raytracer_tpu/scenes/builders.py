@@ -26,6 +26,7 @@ def rand_spheres(
     spp: int = 500,
     max_depth: int = 50,
     aspect: float = 16.0 / 9.0,
+    bucket: bool = False,
 ):
     """~500-sphere random scene (main.go:227-289): checkered ground, 22×22
     grid of random lambertian/metal/glass spheres, three hero spheres,
@@ -72,7 +73,7 @@ def rand_spheres(
     b.add_sphere((0, 1, 0), 1, b.dielectric(1.5))  # main.go:278-279
     b.add_sphere((-4, 1, 0), 1, b.lambertian((0.4, 0.2, 0.1)))  # main.go:281-282
     b.add_sphere((4, 1, 0), 1, b.metal((0.7, 0.6, 0.5), 0.0))  # main.go:284-285
-    return b.build(), cam, settings
+    return b.build(bucket_shapes=bucket), cam, settings
 
 
 def earth(
@@ -83,6 +84,7 @@ def earth(
     max_depth: int = 50,
     texture_path: str | None = None,
     bilinear: bool = False,
+    bucket: bool = False,
 ):
     """Image-textured globe (main.go:80-104). The reference's earthmap.jpg is
     a missing blob in this mount, so by default a deterministic synthetic
@@ -101,10 +103,13 @@ def earth(
     img = load_jpeg(texture_path) if texture_path else synthetic_earth_texture()
     tex = b.image(img)
     b.add_sphere((0, 0, 0), 2, b.lambertian(tex))
-    return b.build(bilinear_textures=bilinear), cam, settings
+    return b.build(bilinear_textures=bilinear, bucket_shapes=bucket), cam, settings
 
 
-def perlin_demo(seed: int = 0, *, width: int = 400, spp: int = 100, max_depth: int = 50):
+def perlin_demo(
+    seed: int = 0, *, width: int = 400, spp: int = 100, max_depth: int = 50,
+    bucket: bool = False,
+):
     """Marble-noise spheres (main.go:106-130)."""
     cam, settings = make_camera(
         16.0 / 9.0,
@@ -121,10 +126,13 @@ def perlin_demo(seed: int = 0, *, width: int = 400, spp: int = 100, max_depth: i
     mat = b.lambertian(noise)
     b.add_sphere((0, -1000, 0), 1000, mat)
     b.add_sphere((0, 2, 0), 2, mat)
-    return b.build(), cam, settings
+    return b.build(bucket_shapes=bucket), cam, settings
 
 
-def quad_demo(seed: int = 0, *, width: int = 400, spp: int = 100, max_depth: int = 50):
+def quad_demo(
+    seed: int = 0, *, width: int = 400, spp: int = 100, max_depth: int = 50,
+    bucket: bool = False,
+):
     """Five colored quads (main.go:132-160)."""
     cam, settings = make_camera(
         16.0 / 9.0,
@@ -147,10 +155,13 @@ def quad_demo(seed: int = 0, *, width: int = 400, spp: int = 100, max_depth: int
     b.add_quad((3, -2, 1), (0, 0, 4), (0, 4, 0), right_blue)
     b.add_quad((-2, 3, 1), (4, 0, 0), (0, 0, 4), upper_orange)
     b.add_quad((-2, -3, 5), (4, 0, 0), (0, 0, -4), lower_teal)
-    return b.build(), cam, settings
+    return b.build(bucket_shapes=bucket), cam, settings
 
 
-def simple_light(seed: int = 0, *, width: int = 400, spp: int = 500, max_depth: int = 50):
+def simple_light(
+    seed: int = 0, *, width: int = 400, spp: int = 500, max_depth: int = 50,
+    bucket: bool = False,
+):
     """Emissive sphere over marble ground, black background (main.go:162-192)."""
     cam, settings = make_camera(
         16.0 / 9.0,
@@ -169,10 +180,13 @@ def simple_light(seed: int = 0, *, width: int = 400, spp: int = 500, max_depth: 
     b.add_sphere((0, 2, 0), 2, marble)
     b.add_sphere((-4, 2, 4), 2, b.lambertian((1, 0, 0)))
     b.add_sphere((0, 7, 0), 2, b.diffuse_light((4, 4, 4)))
-    return b.build(), cam, settings
+    return b.build(bucket_shapes=bucket), cam, settings
 
 
-def cornell_box(seed: int = 0, *, width: int = 600, spp: int = 200, max_depth: int = 50):
+def cornell_box(
+    seed: int = 0, *, width: int = 600, spp: int = 200, max_depth: int = 50,
+    bucket: bool = False,
+):
     """Standard Cornell box with two axis-aligned boxes (main.go:194-225)."""
     cam, settings = make_camera(
         1.0,
@@ -198,15 +212,18 @@ def cornell_box(seed: int = 0, *, width: int = 600, spp: int = 200, max_depth: i
     b.add_quad((0, 0, 555), (555, 0, 0), (0, 555, 0), white)
     b.add_box((130, 0, 65), (295, 165, 230), white)
     b.add_box((265, 0, 295), (430, 330, 460), white)
-    return b.build(), cam, settings
+    return b.build(bucket_shapes=bucket), cam, settings
 
 
-def one_weekend_final(seed: int = 0, *, width: int = 1200, spp: int = 500, max_depth: int = 50):
+def one_weekend_final(
+    seed: int = 0, *, width: int = 1200, spp: int = 500, max_depth: int = 50,
+    bucket: bool = False,
+):
     """Book-canonical random-sphere config (1200×800 @ 500 spp, 3:2 aspect,
     gradient sky) from BASELINE.md — same geometry as rand_spheres but the
     classic lerp sky instead of the reference's flat background color."""
     scene, cam, settings = rand_spheres(
-        seed, width=width, spp=spp, max_depth=max_depth, aspect=1.5
+        seed, width=width, spp=spp, max_depth=max_depth, aspect=1.5, bucket=bucket
     )
     return scene, cam, settings._replace(sky_gradient=True)
 
@@ -219,6 +236,7 @@ def rand_spheres_large(
     max_depth: int = 8,
     n_spheres: int = 10000,
     aspect: float = 16.0 / 9.0,
+    bucket: bool = False,
 ):
     """Scaled-up random-sphere field (n_spheres on a grid, default 10K) —
     the workload for the BVH-cluster large-scene render path
@@ -254,4 +272,4 @@ def rand_spheres_large(
             )
             b.add_sphere(c, 0.2, b.lambertian(tuple(rng.random(3) * rng.random(3))))
             added += 1
-    return b.build(), cam, settings
+    return b.build(bucket_shapes=bucket), cam, settings

@@ -44,9 +44,36 @@ SCENES = (
 )
 
 
+def check_sample_counter() -> dict:
+    """Exact per-pixel sample accounting at wavefront < n_pixels — the regime
+    where XLA:TPU miscompiled the retirement-log fold fusion (round 3; see
+    the optimization_barrier note in wavefront._fold_log). With a white
+    background and no geometry, fb/spp must be exactly 1.0 everywhere; the
+    miscompile put spp+1 samples on the first K*n - total pixels, and other
+    shapes in this regime aborted with opaque INTERNAL launch errors."""
+    from raytracer_tpu.core.camera import make_camera
+    from raytracer_tpu.geometry.scene import SceneBuilder
+
+    w = h = 600
+    spp, wf = 16, 294912  # wf < 360000 pixels; K*n - total = 138240 overhang
+    scene = SceneBuilder(0).build()
+    cam, _ = make_camera(1.0, w, samples_per_pixel=spp, background=(1, 1, 1))
+    img = render_regen(
+        scene, cam, jax.random.PRNGKey(0), spp=spp, height=h, width=w,
+        wavefront_size=wf, max_depth=8, sky_gradient=False,
+        use_pallas=True, use_persistent=True, rr_max_q=0.75,
+    )
+    a = np.asarray(img)[..., 0]
+    bad = int((a != 1.0).sum())
+    return {"ok": bad == 0, "bad_pixels": bad,
+            "minmax": [float(a.min()), float(a.max())]}
+
+
 def main() -> int:
     spp = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     results, ok_all = {}, True
+    results["sample_counter_small_wavefront"] = check_sample_counter()
+    ok_all &= results["sample_counter_small_wavefront"]["ok"]
     for name, scene_name, fast_flags in SCENES:
         scene, cam, settings = get_scene(scene_name, width=200, spp=spp)
         w, h = settings.width, settings.height

@@ -158,6 +158,109 @@ def closest_hit(origin, direction, spheres, quads, t_min=1e-3):
     return best
 
 
+def make_fast_hit(S: "OracleScene"):
+    """Vectorized-over-primitives closest hit, exactly equal to `closest_hit`.
+
+    Equivalence argument (why the argmin may ignore the reference's shrinking
+    t_max, hittables.go:55-72): shrinking t_max can only REJECT a primitive's
+    candidate (a sphere's near root above t_max falls through to the even
+    larger far root, which is also above it — hittables.go:110-116 never
+    *switches* to a different valid t as t_max shrinks). The global-minimum
+    candidate survives every shrink, so argmin over per-primitive candidates
+    computed at t_max = +inf returns the same winner; exact ties keep the
+    first primitive in table order, matching the scan's strict `t < t_max`.
+    The winner's full record is then recomputed by the SCALAR sphere_hit /
+    quad_hit so every formula lives in one place. Per-step dtypes mirror the
+    scalar code (f32 dots widened to f64 arithmetic) so candidate t values
+    are bit-identical; `test_oracle_image.py` pins fast == scalar per ray.
+
+    Used only to make the converged full-image oracle render tractable
+    (~250x on the 487-sphere scene); the per-ray branchy loop in get_color
+    stays scalar.
+    """
+    D = np.float64
+    if S.spheres:
+        sc = np.stack([c for c, _, _ in S.spheres]).astype(F)  # (S,3)
+        sr = np.array([r for _, r, _ in S.spheres], D)  # radius as f64 (scalar code uses Python float)
+    else:
+        sc = np.zeros((0, 3), F)
+        sr = np.zeros((0,), D)
+    if S.quads:
+        qq = np.stack([q for q, _, _, _ in S.quads]).astype(F)
+        qu = np.stack([u for _, u, _, _ in S.quads]).astype(F)
+        qv = np.stack([v for _, _, v, _ in S.quads]).astype(F)
+    else:
+        qq = np.zeros((0, 3), F)
+        qu = np.zeros((0, 3), F)
+        qv = np.zeros((0, 3), F)
+    # Quad plane precompute, mirroring quad_hit's scalar dtype chain.
+    qn = np.cross(qu, qv).astype(F)  # (Q,3) f32
+    qnorm = qn / np.linalg.norm(qn, axis=1, keepdims=True)  # f32, NaN for dummy
+    qd = np.einsum("qi,qi->q", qnorm, qq).astype(F).astype(D)
+    qw = qn / np.einsum("qi,qi->q", qn, qn).astype(F)[:, None]
+
+    ns = sc.shape[0]
+
+    def fast_hit(origin, direction, t_min=1e-3):
+        o = np.asarray(origin, F)
+        d = np.asarray(direction, F)
+        best_t = np.inf
+        best = None  # (kind, index)
+        if ns:
+            oc = (o[None, :] - sc).astype(F)  # f32 like scalar
+            a = D((d @ d).astype(F))
+            half_b = np.einsum("si,i->s", oc, d).astype(F).astype(D)
+            c = np.einsum("si,si->s", oc, oc).astype(F).astype(D) - sr * sr
+            disc = half_b * half_b - a * c
+            ok = disc >= 0
+            sq = np.sqrt(np.where(ok, disc, 0.0))
+            t_near = (-half_b - sq) / a
+            t_far = (-half_b + sq) / a
+            t = np.where(t_near > t_min, t_near, t_far)
+            t = np.where(ok & (t > t_min), t, np.inf)
+            k = int(np.argmin(t))
+            if t[k] < best_t:
+                best_t = float(t[k])
+                best = ("s", k)
+        if qq.shape[0]:
+            denom = np.einsum("qi,i->q", qnorm, d).astype(F).astype(D)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                t = (qd - np.einsum("qi,i->q", qnorm, o).astype(F).astype(D)) / denom
+                valid = (np.abs(denom) >= 1e-8) & (t > t_min)
+                # p/hp/alpha/beta stay float64, mirroring quad_hit's scalar
+                # chain (f32 vectors, Python-float t, f64 products).
+                p = o[None, :] + t[:, None] * d[None, :].astype(D)
+                hp = p - qq
+                alpha = np.einsum("qi,qi->q", qw.astype(D), np.cross(hp, qv.astype(D)))
+                beta = np.einsum("qi,qi->q", qw.astype(D), np.cross(qu.astype(D), hp))
+            valid &= (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
+            t = np.where(valid, t, np.inf)
+            k = int(np.argmin(t))
+            if t[k] < best_t:
+                best_t = float(t[k])
+                best = ("q", k)
+        if best is None:
+            return None
+        kind, k = best
+        if kind == "s":
+            c0, r0, m = S.spheres[k]
+            h = sphere_hit(o, d, c0, r0, t_min, float("inf"))
+            if h is None:
+                # Knife edge: einsum's f32 accumulation order differs from
+                # np.dot by <=1 ulp, which can flip a grazing discriminant's
+                # sign. Authoritative answer = the full scalar scan (rare:
+                # zero in 2304 primary rays, a handful per million bounces).
+                return closest_hit(o, d, S.spheres, S.quads, t_min=t_min)
+            return (*h[:6], m, k)
+        q0, u0, v0, m = S.quads[k]
+        h = quad_hit(o, d, q0, u0, v0, t_min, float("inf"))
+        if h is None:
+            return closest_hit(o, d, S.spheres, S.quads, t_min=t_min)
+        return (*h[:6], m, ns + k)
+
+    return fast_hit
+
+
 # ---- optics (vec3.go:212-221, materials.go:115-119) ------------------------
 def reflect(v, n):
     return v - 2 * float(v @ n) * n
@@ -309,12 +412,16 @@ def get_color(
     uniforms,
     background,
     sky_gradient=False,
+    hit_fn=None,
 ):
     """Ray.GetColor (ray.go:32-54), iterative with injected uniforms.
 
     uniforms: (max_depth, 3) — row b is consumed at bounce b exactly as the
     wavefront consumes `uniform_seq[b]` ([0:2] unit-sphere sample, [2] the
     dielectric reflect/refract coin).
+    hit_fn: optional (origin, direction) -> closest-hit tuple; defaults to
+    the scalar shrinking scan (pass make_fast_hit(S) for big scenes — pinned
+    exactly equal in test_oracle_image.py).
     Returns the path radiance (3,).
     """
     o = np.array(origin, F)
@@ -324,7 +431,11 @@ def get_color(
     background = np.asarray(background, F)
 
     for b in range(max_depth):
-        h = closest_hit(o, d, S.spheres, S.quads, t_min=1e-3)
+        h = (
+            hit_fn(o, d)
+            if hit_fn is not None
+            else closest_hit(o, d, S.spheres, S.quads, t_min=1e-3)
+        )
         if h is None:
             # Miss -> background (ray.go:51-53).
             bg = _sky(d) if sky_gradient else background

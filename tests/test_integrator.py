@@ -179,3 +179,31 @@ def test_regen_jump_nonzero_and_exact_at_pow2_resolution():
     assert int(segs) == w * h * 8
     expect = np.tile(np.array([0.2, 0.5, 0.8], np.float32) * 8, (w * h, 1))
     np.testing.assert_allclose(np.asarray(fb), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_fold_log_small_wavefront_exact_counts():
+    """_fold_log at the exact 600x600 shapes where XLA:TPU miscompiled the
+    fused fold (wavefront < n_pixels; see the optimization_barrier note in
+    _fold_log): a schedule-shaped unit log must fold to exactly spp samples
+    per pixel. On CPU this pins the fold's arithmetic; the TPU fusion itself
+    is covered by scripts/check_persistent_tpu.py's counter render."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.integrator.wavefront import (
+        _fold_log,
+        schedule_arrays,
+        strided_schedule,
+    )
+
+    n_pixels, spp, wf, w = 360000, 16, 294912, 600
+    n, K, jump = strided_schedule(n_pixels, spp, wf)
+    assert n < n_pixels  # the regression regime
+    rem0, _, _ = schedule_arrays(n, n_pixels, spp, w)
+    rem0 = np.asarray(rem0)
+    log = np.zeros((3, K, n), np.float32)
+    for k in range(K):
+        log[:, k, :] = (rem0 > k).astype(np.float32)
+    fold = jax.jit(lambda lg: _fold_log(lg, K, n, n_pixels, jump, 0, 0, False))
+    fb = np.asarray(fold(jnp.asarray(log)))
+    np.testing.assert_array_equal(fb, np.full((n_pixels, 3), float(spp), np.float32))

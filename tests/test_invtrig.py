@@ -27,6 +27,19 @@ def test_atan2_quadrants_and_edges():
     np.testing.assert_allclose(got, np.arctan2(Y, X), rtol=0, atol=2e-6)
 
 
+def test_atan2_zero_x_tiny_y():
+    """x == 0 exactly with subnormal-scale y: the 1e-30-substitute trick alone
+    would return ~y*1e30 instead of +-pi/2 (ADVICE r2); the explicit select
+    must restore the IEEE contract for every nonzero y."""
+    # (smallest NORMAL f32, not 1e-38: XLA flushes subnormals to zero, where
+    # atan2(0, 0) = 0 is the documented behavior)
+    tiny = np.float32(1.1754944e-38)
+    ys = np.array([1e-30, -1e-30, tiny, -tiny, 2.4e-30, -2.4e-30], np.float32)
+    xs = np.zeros_like(ys)
+    got = np.asarray(invtrig.atan2(jnp.asarray(ys), jnp.asarray(xs)))
+    np.testing.assert_allclose(got, np.arctan2(ys, xs), rtol=0, atol=2e-6)
+
+
 def test_atan2_unit_circle():
     """The actual use: atan2 over unit-normal components."""
     t = np.linspace(0.0, 2 * np.pi, 4096, endpoint=False).astype(np.float32)

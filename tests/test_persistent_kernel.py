@@ -415,3 +415,26 @@ def test_persistent_image_on_quad_and_multi_image_exact():
     hits_sph = (np.asarray(ref.hit) & (np.asarray(ref.prim_id) == 0)).sum()
     assert hits_quad > 10 and hits_sph > 10  # both primitives exercised
     np.testing.assert_allclose(fb, want, rtol=2e-5, atol=2e-5)
+
+
+def test_persistent_wavefront_smaller_than_image():
+    """wavefront < n_pixels — the regime where XLA:TPU miscompiled the
+    retirement-log fold fusion (round 3; see the optimization_barrier note in
+    wavefront._fold_log): with a white background and no geometry the
+    framebuffer is an exact per-pixel sample counter, so any slot/pixel
+    misrouting or double-count shows as a pixel != spp."""
+    b = SceneBuilder(0)
+    b.lambertian((0.5, 0.5, 0.5))
+    scene = b.build()
+    cam, settings = make_camera(
+        1.0, 48, samples_per_pixel=5, max_depth=4, background=(1.0, 1.0, 1.0),
+        look_from=(0, 0, 2), look_at=(0, 0, 0),
+    )
+    spp = 5
+    fb, segs, iters = _render_persistent(scene, cam, settings, spp, 2048)
+    n_pix = 48 * 48
+    assert 2048 < n_pix  # the config actually exercises wavefront < pixels
+    assert int(segs) == n_pix * spp
+    np.testing.assert_allclose(
+        fb, np.full((n_pix, 3), float(spp), np.float32), rtol=0, atol=1e-5
+    )

@@ -48,3 +48,52 @@ def test_cornell_geometry():
     scene, cam, settings = get_scene("cornell", **SMALL)
     assert scene.num_quads == 6 + 12  # walls + two boxes (main.go:206-222)
     assert settings.width == settings.height  # aspect 1
+
+
+def test_bucketed_scenes_share_shapes_and_executable():
+    """bucket=True (the CLI default) rounds every scene table to shared size
+    buckets (geometry.scene.bucket_size) so scenes with equal static flags
+    share ONE jit executable — the round-2 fix for the minute-scale remote
+    compile per new scene shape. Pinned pairs: perlin + simple_light
+    (sphere-only noise scenes) and quads + cornell (quad-only solid scenes)."""
+    import jax
+
+    from raytracer_tpu.render import driver
+
+    pairs = [("perlin", "simple_light"), ("quads", "cornell")]
+    for a, b in pairs:
+        sa, _, _ = get_scene(a, bucket=True, **SMALL)
+        sb, _, _ = get_scene(b, bucket=True, **SMALL)
+        assert jax.tree_util.tree_structure(sa) == jax.tree_util.tree_structure(sb)
+        assert [x.shape for x in jax.tree_util.tree_leaves(sa)] == [
+            x.shape for x in jax.tree_util.tree_leaves(sb)
+        ]
+
+    # Executable sharing end-to-end: rendering both scenes of a pair at
+    # matched settings must add exactly ONE entry to the production jit's
+    # cache (the second render is a cache hit). The pair must also share
+    # aspect (pixel shape is a static arg): perlin and simple_light are
+    # both 16:9; quads/cornell differ there (16:9 vs square), so those
+    # share the executable only when rendered at matched resolutions.
+    matched = dict(width=48, spp=4, max_depth=4)
+    scene_a, cam_a, set_a = get_scene("perlin", bucket=True, **matched)
+    scene_b, cam_b, set_b = get_scene("simple_light", bucket=True, **matched)
+    before = driver._render_regen_fb._cache_size()
+    driver.render_image(scene_a, cam_a, set_a)
+    mid = driver._render_regen_fb._cache_size()
+    driver.render_image(scene_b, cam_b, set_b)
+    after = driver._render_regen_fb._cache_size()
+    assert mid == before + 1
+    assert after == mid  # simple_light reused the perlin executable
+
+
+def test_bucketing_is_invisible_to_the_image():
+    """Dummy rows never hit and dummy material/texture rows are never
+    referenced: the bucketed render must be BIT-identical to the unbucketed
+    one for every reference scene."""
+    for name in ("rand_spheres", "earth", "perlin", "quads", "simple_light", "cornell"):
+        plain, cam, settings = get_scene(name, **SMALL)
+        bucketed, _, _ = get_scene(name, bucket=True, **SMALL)
+        img_a = render_scene(plain, cam, settings)
+        img_b = render_scene(bucketed, cam, settings)
+        np.testing.assert_array_equal(img_a, img_b, err_msg=name)
