@@ -595,6 +595,7 @@ def regen_core(
             has_image=scene.has_image,
             img_h=int(scene.images.shape[1]),
             img_w=int(scene.images.shape[2]),
+            bilinear=scene.bilinear_textures,
             **({"rows": persistent_rows} if persistent_rows else {}),
         )
         return _fold_log(

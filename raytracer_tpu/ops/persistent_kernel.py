@@ -248,6 +248,7 @@ def _persistent_kernel(
     n_img_chunks: int,
     max_iters: int,
     n_clusters: int = 0,
+    bilinear: bool = False,
     ablate: str = "",
 ):
     pid = pl.program_id(0)
@@ -561,45 +562,116 @@ def _persistent_kernel(
             vv_s = 1.0 - jnp.clip(theta * (1.0 / PI), 0.0, 1.0)
             uu = jnp.where(is_quad, jnp.clip(qalpha, 0.0, 1.0), uu_s)
             vv = jnp.where(is_quad, 1.0 - jnp.clip(qbeta, 0.0, 1.0), vv_s)
-            iu = jnp.clip(
-                (uu * w_t).astype(jnp.int32), 0, w_t.astype(jnp.int32) - 1
-            )
-            iv = jnp.clip(
-                (vv * h_t).astype(jnp.int32), 0, h_t.astype(jnp.int32) - 1
-            )
-            # Row stride is the PADDED width (images share a padded (H, W)
-            # on the Scene); iu/iv stay within the true dims.
-            flat = img_base + iv * img_w + iu
-            # Pre-split the texel index once; the chunk-scan body is then
-            # broadcast + gather + compare + select (4 vector ops). The scan
-            # covers only the DYNAMIC [tmin, tmax] chunk band of texels that
-            # image-hit lanes actually need this bounce: the affine strided
-            # schedule keeps a tile's live samples in a few contiguous pixel
-            # strips, whose hit points map to a narrow theta (texture-row)
-            # band — measured 3-8x fewer steps than the full 1024-chunk scan
-            # on the 256x512 earth scene (docs/PERF_NOTES.md round 3).
-            tchunk = jax.lax.shift_right_logical(flat, 7)
-            toff = flat & (LANES - 1)
             # Bounds over lanes whose texel is actually consumed (live hits):
             # dead lanes re-intersect their stale last ray and must not widen
             # the band.
             img_need = jnp.logical_and(is_img, jnp.logical_and(active, hit))
-            tmin = jnp.min(jnp.where(img_need, tchunk, n_img_chunks))
-            tmax = jnp.max(jnp.where(img_need, tchunk, 0))
 
-            def img_chunk(q, val):
-                tb = jnp.broadcast_to(img_ref[pl.ds(q, 1), :], shape)
-                g = jnp.take_along_axis(tb, toff, axis=1, mode="promise_in_bounds")
-                return jnp.where(tchunk == q, g, val)
+            def _unpack(pv):
+                ir_ = jnp.floor(pv * (1.0 / 65536.0))
+                rem_ = pv - ir_ * 65536.0
+                ig_ = jnp.floor(rem_ * (1.0 / 256.0))
+                ib_ = rem_ - ig_ * 256.0
+                return (
+                    ir_ * (1.0 / 255.0),
+                    ig_ * (1.0 / 255.0),
+                    ib_ * (1.0 / 255.0),
+                )
 
-            pval = jax.lax.fori_loop(tmin, tmax + 1, img_chunk, zero)
-            ir_ = jnp.floor(pval * (1.0 / 65536.0))
-            rem_ = pval - ir_ * 65536.0
-            ig_ = jnp.floor(rem_ * (1.0 / 256.0))
-            ib_ = rem_ - ig_ * 256.0
-            texr = jnp.where(is_img, ir_ * (1.0 / 255.0), texr)
-            texg = jnp.where(is_img, ig_ * (1.0 / 255.0), texg)
-            texb = jnp.where(is_img, ib_ * (1.0 / 255.0), texb)
+            if not bilinear:
+                iu = jnp.clip(
+                    (uu * w_t).astype(jnp.int32), 0, w_t.astype(jnp.int32) - 1
+                )
+                iv = jnp.clip(
+                    (vv * h_t).astype(jnp.int32), 0, h_t.astype(jnp.int32) - 1
+                )
+                # Row stride is the PADDED width (images share a padded
+                # (H, W) on the Scene); iu/iv stay within the true dims.
+                flat = img_base + iv * img_w + iu
+                # Pre-split the texel index once; the chunk-scan body is
+                # then broadcast + gather + compare + select (4 vector ops).
+                # The scan covers only the DYNAMIC [tmin, tmax] chunk band
+                # of texels that image-hit lanes actually need this bounce:
+                # the affine strided schedule keeps a tile's live samples in
+                # a few contiguous pixel strips, whose hit points map to a
+                # narrow theta (texture-row) band — measured 3-8x fewer
+                # steps than the full 1024-chunk scan on the 256x512 earth
+                # scene (docs/PERF_NOTES.md round 3).
+                tchunk = jax.lax.shift_right_logical(flat, 7)
+                toff = flat & (LANES - 1)
+                tmin = jnp.min(jnp.where(img_need, tchunk, n_img_chunks))
+                tmax = jnp.max(jnp.where(img_need, tchunk, 0))
+
+                def img_chunk(q, val):
+                    tb = jnp.broadcast_to(img_ref[pl.ds(q, 1), :], shape)
+                    g = jnp.take_along_axis(
+                        tb, toff, axis=1, mode="promise_in_bounds"
+                    )
+                    return jnp.where(tchunk == q, g, val)
+
+                pval = jax.lax.fori_loop(tmin, tmax + 1, img_chunk, zero)
+                ir_, ig_, ib_ = _unpack(pval)
+            else:
+                # Bilinear upgrade (BASELINE.md; exact parity with
+                # textures._image_lookup_bilinear): 4 clamped taps around
+                # (u*w - 0.5, v*h - 0.5). The two texture ROWS involved are
+                # adjacent, so ONE shared dynamic chunk-band scan covers all
+                # 4 taps — per chunk step: one broadcast + 4 lane-gathers +
+                # 4 selects (vs 1 + 1 + 1 for nearest).
+                x = uu * w_t - 0.5
+                y = vv * h_t - 0.5
+                x0f = jnp.floor(x)
+                y0f = jnp.floor(y)
+                fx = x - x0f
+                fy = y - y0f
+                wmax = w_t.astype(jnp.int32) - 1
+                hmax = h_t.astype(jnp.int32) - 1
+                iu0 = jnp.clip(x0f.astype(jnp.int32), 0, wmax)
+                iu1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, wmax)
+                iv0 = jnp.clip(y0f.astype(jnp.int32), 0, hmax)
+                iv1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, hmax)
+                flats = (
+                    img_base + iv0 * img_w + iu0,
+                    img_base + iv0 * img_w + iu1,
+                    img_base + iv1 * img_w + iu0,
+                    img_base + iv1 * img_w + iu1,
+                )
+                tchunks = tuple(jax.lax.shift_right_logical(f, 7) for f in flats)
+                toffs = tuple(f & (LANES - 1) for f in flats)
+                tmin = jnp.min(
+                    jnp.where(img_need, tchunks[0], n_img_chunks)
+                )
+                tmax = jnp.max(jnp.where(img_need, tchunks[3], 0))
+
+                def img_chunk4(q, vals):
+                    tb = jnp.broadcast_to(img_ref[pl.ds(q, 1), :], shape)
+                    return tuple(
+                        jnp.where(
+                            tc == q,
+                            jnp.take_along_axis(
+                                tb, to, axis=1, mode="promise_in_bounds"
+                            ),
+                            v,
+                        )
+                        for tc, to, v in zip(tchunks, toffs, vals)
+                    )
+
+                p00, p01, p10, p11 = jax.lax.fori_loop(
+                    tmin, tmax + 1, img_chunk4, (zero, zero, zero, zero)
+                )
+                c00, c01, c10, c11 = (
+                    _unpack(p00), _unpack(p01), _unpack(p10), _unpack(p11)
+                )
+                one_fx = 1.0 - fx
+                one_fy = 1.0 - fy
+                ir_, ig_, ib_ = (
+                    (c00[c] * one_fx + c01[c] * fx) * one_fy
+                    + (c10[c] * one_fx + c11[c] * fx) * fy
+                    for c in range(3)
+                )
+            texr = jnp.where(is_img, ir_, texr)
+            texg = jnp.where(is_img, ig_, texg)
+            texb = jnp.where(is_img, ib_, texb)
 
         # ---- miss -> background / sky (ray.go:53) ----
         if sky_gradient:
@@ -924,19 +996,15 @@ def scene_supports_persistent(scene) -> bool:
     """The in-kernel shader covers SOLID + CHECKER + NOISE (procedural
     Perlin) + IMAGE textures with all four materials, on spheres AND quads,
     any number of images (round 3: quad UV rides the intersect carry, the
-    winner's texel base/dims ride the resolve table). Remaining gates:
-    noise requires the hash-procedural tables (scene.perlin_procedural —
-    rng-filled tables would need in-kernel gathers, which Mosaic cannot
-    vectorize); the total padded texel footprint must fit the VMEM budget;
-    and bilinear image filtering is not implemented in-kernel (the fetch is
-    nearest-neighbor, materials.go:184-192 parity — a bilinear scene must
-    use the XLA/megakernel texture path or it would silently render NN;
-    advisor finding, round 2)."""
+    winner's texel base/dims ride the resolve table; bilinear filtering
+    in-kernel since round 3 — 4 clamped taps through one shared chunk-band
+    scan, closing the round-2 advisor gate). Remaining gates: noise requires
+    the hash-procedural tables (scene.perlin_procedural — rng-filled tables
+    would need in-kernel gathers, which Mosaic cannot vectorize); and the
+    total padded texel footprint must fit the VMEM budget."""
     if scene.has_noise and not scene.perlin_procedural:
         return False
     if scene.has_image:
-        if scene.bilinear_textures:
-            return False
         total = (
             scene.images.shape[0] * scene.images.shape[1] * scene.images.shape[2]
         )
@@ -950,7 +1018,7 @@ def scene_supports_persistent(scene) -> bool:
     static_argnames=(
         "width", "height", "jump_px", "jump_py", "num_slots", "rows", "unroll",
         "max_depth", "rr_start", "rr_lo", "rr_hi", "sky_gradient", "has_noise",
-        "has_image", "img_h", "img_w", "ablate",
+        "has_image", "img_h", "img_w", "bilinear", "ablate",
     ),
 )
 def render_persistent_pallas(
@@ -983,6 +1051,7 @@ def render_persistent_pallas(
     has_image: bool = False,
     img_h: int = 1,
     img_w: int = 1,
+    bilinear: bool = False,
     ablate: str = "",
 ):
     """Run the full wavefront render in one kernel launch.
@@ -1063,6 +1132,7 @@ def render_persistent_pallas(
         n_img_chunks=n_img_chunks,
         max_iters=max_iters,
         n_clusters=n_clusters,
+        bilinear=bilinear,
         ablate=ablate,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -43,6 +43,13 @@ SCENES = (
     ("earth_megakernel", "earth", dict(use_pallas=True, use_megakernel=True)),
 )
 
+# Scene-builder kwargs per scene name (earth_bilinear exercises the round-3
+# in-kernel 4-tap bilinear fetch on the real chip).
+SCENES = SCENES + (
+    ("earth_bilinear", "earth", dict(use_pallas=True, use_persistent=True)),
+)
+BUILD_KW = {"earth_bilinear": dict(bilinear=True)}
+
 
 def check_sample_counter() -> dict:
     """Exact per-pixel sample accounting at wavefront < n_pixels — the regime
@@ -75,7 +82,9 @@ def main() -> int:
     results["sample_counter_small_wavefront"] = check_sample_counter()
     ok_all &= results["sample_counter_small_wavefront"]["ok"]
     for name, scene_name, fast_flags in SCENES:
-        scene, cam, settings = get_scene(scene_name, width=200, spp=spp)
+        scene, cam, settings = get_scene(
+            scene_name, width=200, spp=spp, **BUILD_KW.get(name, {})
+        )
         w, h = settings.width, settings.height
         kw = dict(
             width=w, height=h, spp=spp,

@@ -245,8 +245,8 @@ def test_persistent_image_emitter_exact():
 
 def test_persistent_image_gating():
     """scene_supports_persistent: image scenes qualify on spheres AND quads
-    with any number of images (round 3); only the total padded texel budget
-    and bilinear filtering gate the path."""
+    with any number of images and either filter mode (round 3); only the
+    total padded texel budget gates the path."""
     from raytracer_tpu.ops.persistent_kernel import (
         MAX_IMAGE_TEXELS,
         scene_supports_persistent,
@@ -283,10 +283,10 @@ def test_persistent_image_gating():
     b.add_sphere((2, 0, -3), 1.0, b.lambertian(b.image(big2 + 0.1)))
     assert not scene_supports_persistent(b.build())
 
-    # Bilinear filtering is not implemented in-kernel -> fallback.
+    # Bilinear filtering: in-kernel since round 3 -> supported.
     b = SceneBuilder(0)
     b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(img)))
-    assert not scene_supports_persistent(b.build(bilinear_textures=True))
+    assert scene_supports_persistent(b.build(bilinear_textures=True))
 
 
 def test_image_pack_roundtrip_exact():
@@ -438,3 +438,47 @@ def test_persistent_wavefront_smaller_than_image():
     np.testing.assert_allclose(
         fb, np.full((n_pix, 3), float(spp), np.float32), rtol=0, atol=1e-5
     )
+
+
+def test_persistent_image_bilinear_exact():
+    """Bilinear in-kernel image fetch (round 3, closing the round-2 advisor
+    gate): a huge bilinear image-textured emitter pins the 4-tap in-kernel
+    path — shared chunk-band scan, per-tap mantissa unpack, lerp order —
+    against the XLA bilinear texture path bit-close, on a sphere AND on a
+    quad (quad UV rides the intersect carry)."""
+    from raytracer_tpu.core.camera import camera_rays
+    from raytracer_tpu.geometry.intersect import intersect_scene
+    from raytracer_tpu.materials.textures import eval_texture
+    from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+
+    rng = np.random.default_rng(9)
+    img = rng.uniform(0.0, 1.0, (16, 48, 3)).astype(np.float32)
+    img2 = rng.uniform(0.0, 1.0, (11, 13, 3)).astype(np.float32)
+    b = SceneBuilder(0)
+    tex = b.image(img)
+    b.add_sphere((0, 0, 0), 100.0, b.diffuse_light(tex))
+    tex2 = b.image(img2)
+    # A quad in front of the camera: some pixels resolve the quad UV path.
+    b.add_quad((-0.8, -0.8, -2.0), (1.6, 0, 0), (0, 1.6, 0), b.diffuse_light(tex2))
+    scene = b.build(bilinear_textures=True)
+    assert scene.bilinear_textures and scene_supports_persistent(scene)
+    w = 16
+    cam, settings = make_camera(
+        1.0, w, samples_per_pixel=1, max_depth=4, background=(9, 9, 9),
+        look_from=(0, 0, 0), look_at=(0.1, -0.1, -1),
+    )
+    fb, segs, iters = _render_persistent(scene, cam, settings, 1, 1024)
+    assert int(segs) == w * w
+
+    frame = camera_frame(cam, w, w)
+    pix = np.arange(w * w, dtype=np.int32)
+    uni = np.zeros((w * w, 4), np.float32)
+    o, d = camera_rays(frame, jnp.asarray(pix % w), jnp.asarray(pix // w), jnp.asarray(uni))
+    ref = intersect_scene(scene, o, d)
+    tex_ids = np.where(np.asarray(ref.prim_id) >= scene.num_spheres, tex2, tex)
+    want = np.asarray(
+        eval_texture(scene, jnp.asarray(tex_ids, jnp.int32), ref.u, ref.v, ref.point)
+    )
+    quad_frac = float((np.asarray(ref.prim_id) >= scene.num_spheres).mean())
+    assert 0.1 < quad_frac < 0.9  # both UV paths exercised
+    np.testing.assert_allclose(fb, want, rtol=2e-5, atol=2e-5)
