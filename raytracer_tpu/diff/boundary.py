@@ -36,15 +36,16 @@ discontinuities (shadow edges cast on other objects, silhouettes seen in
 mirror reflections) are not sampled; pinhole cameras (defocus blur already
 smooths primary edges at the lens-integral level).
 
-The secondary gap is QUANTIFIED, not just disclaimed
+The secondary gap is QUANTIFIED
 (tests/test_boundary_grad.py::test_shadow_edge_bias_quantified): for an
 out-of-frame blocker quad sweeping an area-light shadow across in-frame
 ground, FD measures dLoss/dx = -0.124 while interior AD and
 interior+primary-boundary AD both report 0.000 — the missing shadow-edge
-term is ~100% of that gradient axis (contrast: on primary-silhouette axes
-this module matches FD to ~15%). Closing it requires path-space edge
-sampling (sampling blocker silhouettes as seen from every receiver point)
-or warped-area reparameterization.
+term is ~100% of that gradient axis. The FIRST-BOUNCE case is CLOSED by
+diff/shadow_edge.py (path-space edge sampling from receiver points: quad
+edges and sphere contours as seen from every first-hit point), which
+recovers that axis to within a few percent of FD; deeper-bounce shadow
+edges and glossy receivers remain out of scope there (see its docstring).
 """
 
 from __future__ import annotations

@@ -18,11 +18,13 @@ corners, camera) flow through the whole wavefront via:
   `boundary=True` — analytic sphere contours + quad edges, primary
   visibility.
 
-Known limits: SECONDARY discontinuities are not handled — shadow edges cast
-on other objects, silhouettes seen in mirrors, refracted rays sweeping
-across object horizons (d/d_ior behind glass), and the TIR-cone crossing.
-FD measures those; the estimators here do not. They require path-space
-edge sampling or warped-area reparameterization.
+Known limits: FIRST-BOUNCE secondary discontinuities (shadow edges cast by
+quads/spheres onto diffuse receivers, and area-light rims seen from
+receivers) are handled by diff/shadow_edge.py (opt-in, compose additively
+like boundary_image). Still unhandled: deeper-bounce shadow edges,
+silhouettes seen in mirrors, refracted rays sweeping across object horizons
+(d/d_ior behind glass), and the TIR-cone crossing — FD measures those; the
+estimators here do not.
 
 For multi-device runs the loss is computed under sharding constraints: rays
 sharded, scene parameters replicated — XLA inserts the `psum` that all-reduces
