@@ -1,0 +1,89 @@
+"""Inverse rendering FROM SHADOWS: recover an out-of-frame blocker's
+position using only the shadow it casts (diff/shadow_edge.py showcase).
+
+The blocker is never visible to the camera, so interior autodiff and the
+primary boundary sampler provide exactly zero signal on its position
+(test_boundary_grad.py::test_shadow_edge_bias_quantified) — without the
+secondary shadow-edge term this optimization cannot move. With it, plain
+Adam on an MSE image loss walks the blocker ~0.6 scene units to the target.
+
+The reference has no autodiff at all; this is the north-star gradient axis
+(BASELINE.md) exercised end-to-end: forward render + custom_vjp boundary
+terms + optimizer, all under jit.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from raytracer_tpu.core.camera import make_camera
+from raytracer_tpu.diff.grad import render_linear_diff, split_scene
+from raytracer_tpu.diff.shadow_edge import ShadowEdgeConfig, make_shadow_boundary_fn
+from raytracer_tpu.geometry.scene import SceneBuilder
+
+W = H = 24
+KW = dict(width=W, height=H, samples_per_pass=32, max_depth=3, sky_gradient=False)
+BLOCKER_ROW = 2
+TARGET_BX, START_BX = 0.35, -0.25
+
+
+def _build(bx):
+    b = SceneBuilder(0)
+    white = b.lambertian((0.73, 0.73, 0.73))
+    light = b.diffuse_light((15, 15, 15))
+    b.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20), white)
+    b.add_quad((-1, 3, -1), (2, 0, 0), (0, 0, 2), light)
+    b.add_quad((bx - 0.6, 1.5, -0.6), (1.2, 0, 0), (0, 0, 1.2), white)
+    return b.build()
+
+
+def test_recover_blocker_from_its_shadow():
+    cam, _ = make_camera(
+        1.0, W, fov_degrees=38, look_from=(3.5, 1.0, 0.0),
+        look_at=(0.0, 0.0, 0.0), background=(0, 0, 0),
+    )
+    target = jnp.asarray(np.mean(
+        [
+            np.asarray(render_linear_diff(_build(TARGET_BX), cam,
+                                          jax.random.PRNGKey(100 + i), **KW))
+            for i in range(8)
+        ],
+        axis=0,
+    ))
+
+    params, rebuild = split_scene(_build(START_BX), trainable=("quad_q",))
+    shadow_fn = make_shadow_boundary_fn(
+        rebuild, width=W, height=H, max_depth=KW["max_depth"],
+        config=ShadowEdgeConfig(samples_per_quad_edge=8, spp_edge=2),
+    )
+    # Optimize ONLY the blocker's x (the other rows/axes are known).
+    mask = jnp.zeros_like(params["quad_q"]).at[BLOCKER_ROW, 0].set(1.0)
+
+    @jax.jit
+    def step_grad(p, key):
+        k1, k2 = jax.random.split(key)
+
+        def loss(pp):
+            img = render_linear_diff(rebuild(pp), cam, k1, **KW)
+            img = img + shadow_fn(pp, cam, k2)
+            return jnp.mean((img - target) ** 2)
+
+        l, g = jax.value_and_grad(loss)(p)
+        return l, {"quad_q": g["quad_q"] * mask}
+
+    opt = optax.adam(0.08)
+    st = opt.init(params)
+    p = params
+    history = []
+    for i in range(34):
+        _, g = step_grad(p, jax.random.PRNGKey(1000 + i))
+        up, st = opt.update(g, st)
+        p = jax.tree_util.tree_map(lambda a, b: a + b, p, up)
+        history.append(float(p["quad_q"][BLOCKER_ROW, 0]) + 0.6)
+
+    # Adam oscillates through the noisy basin — judge the late-iterate mean.
+    recovered = float(np.mean(history[-6:]))
+    assert abs(recovered - TARGET_BX) < 0.12, (recovered, history[-6:])
+    # And it genuinely traveled (not a no-op pass): >70% of the way there.
+    assert recovered - START_BX > 0.7 * (TARGET_BX - START_BX), recovered
