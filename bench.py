@@ -253,6 +253,21 @@ def main() -> None:
             )
         except Exception as e:
             detail["large_10k"] = {"error": str(e)[:200]}
+        # Book-canonical workload (BASELINE.md: 1200x800 @ 500 spp, 3:2,
+        # gradient sky). Measured at the production spp CHUNK (125): the
+        # VMEM retirement-log budget caps samples/lane at ~64, so
+        # render_image runs 500 spp as four back-to-back 125-spp chunks at
+        # this same rate (measured end-to-end: 8.4 s / 144.8 traced Mrays/s
+        # for the full 500 spp — vs the reference's 8 min 54 s for this
+        # scene pre-BVH, README.md:11).
+        sc, cm, st = get_scene("one_weekend_final")
+        try:
+            detail["one_weekend_1200x800"] = _measure_with_retry(
+                sc, cm, st, spp=125,
+                wavefront=_wavefront_for(125, sc, st), repeats=repeats,
+            )
+        except Exception as e:
+            detail["one_weekend_1200x800"] = {"error": str(e)[:200]}
         # Differentiable-path point (BASELINE.json gradient axis): one
         # inverse-render optimization step — MSE loss + grads w.r.t. sphere
         # centers/radii/albedos — on the 500-sphere scene at a non-toy

@@ -469,6 +469,19 @@ def render_image(
         else:
             wavefront = int(max(target_rays_per_pass, min(n, max_wavefront)))
         spp_chunk = regen_spp_chunk(spp, n, wavefront, max_slots)
+        if use_persistent and spp_chunk < spp:
+            # Multi-chunk render: the whole-spp sizing above hit the
+            # max_wavefront cap and left samples/lane under the VMEM budget
+            # (e.g. 1200x800@500spp: K=58 at the 2M-lane cap). Re-size for
+            # the ACTUAL chunk so K reaches the cap — tiles drain at the
+            # pace of their slowest lane and more samples per lane averages
+            # the tail away (measured 144.8 -> ~172 traced Mrays/s there).
+            from raytracer_tpu.integrator.wavefront import pick_wavefront
+
+            wavefront = pick_wavefront(
+                n, spp_chunk, max_slots, hi=max_wavefront, coherent=coherent
+            )
+            spp_chunk = regen_spp_chunk(spp, n, wavefront, max_slots)
         if metrics is not None:
             from raytracer_tpu.integrator.wavefront import strided_schedule
             from raytracer_tpu.ops.persistent_kernel import DEFAULT_ROWS, LANES
