@@ -26,6 +26,12 @@ silhouettes seen in mirrors, refracted rays sweeping across object horizons
 (d/d_ior behind glass), and the TIR-cone crossing — FD measures those; the
 estimators here do not.
 
+For LARGE scenes, diff/tape.py offers a tape-replay backend that removes
+backward re-intersection entirely (records the per-bounce winner with the
+fast forward, differentiates an O(1)-per-segment replay) — measured 1.5x
+at 50K primitives, a wash at 10K, slower below (its docstring has the
+numbers); this module's scan backend is the default for typical scenes.
+
 For multi-device runs the loss is computed under sharding constraints: rays
 sharded, scene parameters replicated — XLA inserts the `psum` that all-reduces
 parameter gradients across the mesh (SURVEY.md §2.2 "gradient parallel").

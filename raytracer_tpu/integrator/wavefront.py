@@ -46,6 +46,12 @@ class WavefrontState(NamedTuple):
     key: jnp.ndarray  # PRNG key
     bounce: jnp.ndarray  # () i32
     segments: jnp.ndarray  # () i32 — ray segments traced this batch (perf metric)
+    # Optional (max_depth, N) i32 path tape: winning prim id per bounce, -1
+    # for miss/never-reached. None (an empty subtree) unless the caller
+    # requested it — the tape-replay differentiable backend (diff/tape.py)
+    # records it with the FAST non-diff forward, then differentiates a
+    # cheap per-recorded-prim replay.
+    tape: jnp.ndarray | None = None
 
 
 def sky_color(direction):
@@ -77,7 +83,17 @@ def _bounce_step(
     `intersect_fn(scene, o, d) -> HitRecord` overrides the dense XLA
     closest hit (large-scene Pallas intersectors)."""
     key, sub = jax.random.split(state.key)
-    hit = (intersect_fn or intersect_scene)(scene, state.origin, state.direction)
+    ifn = intersect_fn or intersect_scene
+    if getattr(ifn, "takes_bounce", False):
+        # Tape-replay intersector: looks the winner up by bounce index
+        # instead of searching primitives (diff/tape.py).
+        hit = ifn(scene, state.origin, state.direction, state.bounce)
+    else:
+        hit = ifn(scene, state.origin, state.direction)
+    tape = state.tape
+    if tape is not None:
+        rec = jnp.where(state.alive & hit.hit, hit.prim_id, -1)
+        tape = jax.lax.dynamic_update_index_in_dim(tape, rec, state.bounce, 0)
 
     # Miss -> background (ray.go:53). `background` is (3,) flat color unless
     # the static sky_gradient flag selects the book sky.
@@ -124,6 +140,7 @@ def _bounce_step(
         key=key,
         bounce=state.bounce + 1,
         segments=state.segments + jnp.sum(state.alive).astype(state.segments.dtype),
+        tape=tape,
     )
 
 
@@ -143,9 +160,12 @@ def trace(
     first_bounce_intersect_fn=None,
     intersect_fn_differentiable: bool = False,
     fixed_trip_count: bool = False,
+    return_tape: bool = False,
 ):
     """Trace a batch of rays to completion; returns radiance (N, 3)
-    (or (radiance, traced_segment_count) with return_stats=True).
+    (or (radiance, traced_segment_count) with return_stats=True; with
+    return_tape=True additionally the (max_depth, N) i32 per-bounce winner
+    tape — see diff/tape.py).
 
     Depth exhaustion contributes black (ray.go:33-35): lanes still alive after
     `max_depth` bounces simply never add their tail.
@@ -174,6 +194,7 @@ def trace(
         key=key,
         bounce=jnp.int32(0),
         segments=jnp.int32(0),
+        tape=jnp.full((max_depth, n), -1, jnp.int32) if return_tape else None,
     )
     # Build the packed shading table once; it is loop-invariant.
     packed = primitive_shading_table(scene)
@@ -212,8 +233,12 @@ def trace(
             step,
             init,
         )
+    if return_stats and return_tape:
+        return final.radiance, final.segments, final.tape
     if return_stats:
         return final.radiance, final.segments
+    if return_tape:
+        return final.radiance, final.tape
     return final.radiance
 
 
