@@ -196,8 +196,18 @@ def main() -> None:
     # double-buffered retirement log.
     def _wavefront_for(spp_, scn, st_):
         from raytracer_tpu.integrator.wavefront import pick_wavefront
+        from raytracer_tpu.render.driver import regen_max_slots
 
-        k = 40 if scn.has_noise else 64
+        img_texels = (
+            int(scn.images.shape[0] * scn.images.shape[1] * scn.images.shape[2])
+            if scn.has_image
+            else 0
+        )
+        # The production VMEM solver, not a hardcoded 40/64 — so the bench
+        # sizes exactly like render_image (review r3).
+        k = regen_max_slots(
+            True, scn.has_noise, scn.num_spheres + scn.num_quads, img_texels
+        )
         coherent = scn.has_image or (scn.num_spheres + scn.num_quads > 512)
         return pick_wavefront(
             st_.width * st_.height, spp_, k, coherent=coherent

@@ -1005,6 +1005,11 @@ def scene_supports_persistent(scene) -> bool:
     if scene.has_noise and not scene.perlin_procedural:
         return False
     if scene.has_image:
+        # RES_IMGWH packs true dims as w*4096 + h in one f32 (exact only
+        # below 2^24): either padded dimension >= 4096 would silently
+        # corrupt the decode (review r3) -> megakernel fallback.
+        if scene.images.shape[1] >= 4096 or scene.images.shape[2] >= 4096:
+            return False
         total = (
             scene.images.shape[0] * scene.images.shape[1] * scene.images.shape[2]
         )

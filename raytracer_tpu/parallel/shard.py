@@ -502,7 +502,11 @@ def render_image_sharded(
         # Same chunk-sizing rule as render_image, scaled by the device count
         # (each device's share of a chunk is ceil(spp_chunk / n_dev)).
         img_texels = (
-            int(scene.images.shape[1] * scene.images.shape[2])
+            int(
+                scene.images.shape[0]
+                * scene.images.shape[1]
+                * scene.images.shape[2]
+            )
             if scene.has_image
             else 0
         )
@@ -625,6 +629,14 @@ def render_image_sharded(
             )
         return acc / jnp.float32(max(done, 1))
 
+    if checkpoint_path:
+        # The per-pass fallback has no chunk checkpoints; refuse loudly
+        # instead of silently rendering unresumably (review r3 — the
+        # large-scene fallback above already does).
+        raise ValueError(
+            "checkpointing requires the regenerative sharded path "
+            "(regenerative=True); the per-pass fallback does not checkpoint"
+        )
     k = sharded_samples_per_pass(spp, w * h, mesh, target_rays_per_pass)
     passes = spp // k
     acc = jnp.zeros((h, w, 3), jnp.float32)

@@ -60,9 +60,11 @@ def regen_max_slots(
     megakernel/XLA paths keep the log in HBM and always afford 64."""
     if not use_persistent:
         return 64
+    from raytracer_tpu.ops.persistent_kernel import N_RES
+
     budget = 16 << 20
     fixed = 18 * (64 * 128 * 4)  # wavefront state scratch
-    fixed += 2 * 14 * (-(-max(n_prims, 128) // 128)) * 512  # resolve table
+    fixed += 2 * N_RES * (-(-max(n_prims, 128) // 128)) * 512  # resolve table
     fixed += 2 * (-(-img_texels // 128)) * 512  # packed image table
     if has_noise:
         # In-kernel Perlin stack temporaries; constant back-solved from the
@@ -400,14 +402,15 @@ def render_image(
     key = jax.random.PRNGKey(seed)
 
     n_prims = scene.num_spheres + scene.num_quads
+    from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+
+    supports = scene_supports_persistent(scene)
     if (
         regenerative
         and jax.default_backend() == "tpu"
         and n_prims > LARGE_SCENE_PRIMS
     ):
-        from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
-
-        if not scene_supports_persistent(scene):
+        if not supports:
             return _render_large_scene(
                 scene,
                 cam,
@@ -419,12 +422,10 @@ def render_image(
             )
 
     if regenerative:
-        from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
-
         on_tpu = jax.default_backend() == "tpu"
         use_pallas = on_tpu
-        # Whole-loop-in-kernel fast path: solid/checker scenes on TPU.
-        use_persistent = on_tpu and scene_supports_persistent(scene)
+        # Whole-loop-in-kernel fast path (all four texture kinds in-kernel).
+        use_persistent = on_tpu and supports
         # Large scenes: permute spheres into BVH-cluster order and hand the
         # persistent kernel the cluster table for in-kernel culling.
         cluster_table = None
@@ -446,7 +447,13 @@ def render_image(
         # lower (K=64 OOMs by 3.6 MB there; 40 fits).
         max_wavefront = 1 << 21
         img_texels = (
-            int(scene.images.shape[1] * scene.images.shape[2])
+            # ALL images pack into one VMEM table (pack_image_table) —
+            # count every padded image, not just one (review r3).
+            int(
+                scene.images.shape[0]
+                * scene.images.shape[1]
+                * scene.images.shape[2]
+            )
             if scene.has_image
             else 0
         )
