@@ -288,6 +288,14 @@ def test_persistent_image_gating():
     b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(img)))
     assert scene_supports_persistent(b.build(bilinear_textures=True))
 
+    # A padded dimension >= 4096 exceeds the RES_IMGWH w*4096+h f32
+    # packing (review r3): silently-wrong dims -> must fall back, even
+    # though the TOTAL texel count passes the budget gate.
+    wide = np.zeros((4, 4160, 3), np.float32)  # 16640 texels, w >= 4096
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image(wide)))
+    assert not scene_supports_persistent(b.build())
+
 
 def test_image_pack_roundtrip_exact():
     """pack_image_table packs 8-bit-quantized texels exactly: unpacking the
