@@ -6,11 +6,15 @@ Stage 2: recover a laterally displaced sphere CENTER — moving a sphere
 changes which paths hit it, a visibility discontinuity interior autodiff
 cannot see; the edge-sampled silhouette boundary term (diff/boundary.py)
 supplies it.
+Stage 3: recover an OUT-OF-FRAME blocker's position purely from the shadow
+it casts — a SECONDARY discontinuity; interior AND primary-boundary
+gradients are exactly zero on this axis, so only the shadow-edge term
+(diff/shadow_edge.py) moves the optimizer.
 
     python scripts/inverse_render_demo.py          # writes out/inverse/*
 
 Artifacts: target.png, init.png, recovered.png, geometry_recovered.png,
-history.json.
+shadow_target.png, shadow_recovered.png, history.json.
 """
 
 from __future__ import annotations
@@ -135,6 +139,77 @@ def main() -> None:
         "recovered_center1": [round(float(x), 3) for x in gparams["sph_center"][1]],
         "true_center1": list(center1),
         "init_center1": [round(float(x), 3) for x in np.asarray(wrong_geo.sph_center[1])],
+    }
+
+    # ---- Stage 3: shadow-only recovery (secondary edge gradients) --------
+    import optax
+
+    from raytracer_tpu.diff.grad import split_scene
+    from raytracer_tpu.diff.shadow_edge import ShadowEdgeConfig, make_shadow_boundary_fn
+
+    def shadow_scene(bx):
+        b = SceneBuilder(0)
+        white = b.lambertian((0.73, 0.73, 0.73))
+        light = b.diffuse_light((15, 15, 15))
+        b.add_quad((-10, 0, -10), (20, 0, 0), (0, 0, 20), white)
+        b.add_quad((-1, 3, -1), (2, 0, 0), (0, 0, 2), light)
+        b.add_quad((bx - 0.6, 1.5, -0.6), (1.2, 0, 0), (0, 0, 1.2), white)
+        return b.build()
+
+    scam, _ = make_camera(
+        1.0, 24, fov_degrees=38, look_from=(3.5, 1.0, 0.0),
+        look_at=(0.0, 0.0, 0.0), background=(0, 0, 0),
+    )
+    skw = dict(width=24, height=24, samples_per_pass=32, max_depth=3,
+               sky_gradient=False)
+    target_bx, start_bx = 0.35, -0.25
+    starget = jnp.asarray(np.mean(
+        [np.asarray(render_linear_diff(shadow_scene(target_bx), scam,
+                                       jax.random.PRNGKey(100 + i), **skw))
+         for i in range(8)], axis=0))
+    write_png(f"{out_dir}/shadow_target.png", np.asarray(to_u8(starget)))
+
+    sparams, srebuild = split_scene(shadow_scene(start_bx), trainable=("quad_q",))
+    shadow_fn = make_shadow_boundary_fn(
+        srebuild, width=24, height=24, max_depth=3,
+        config=ShadowEdgeConfig(samples_per_quad_edge=8, spp_edge=2),
+    )
+    mask = jnp.zeros_like(sparams["quad_q"]).at[2, 0].set(1.0)
+
+    @jax.jit
+    def sgrad(p, key):
+        k1, k2 = jax.random.split(key)
+
+        def loss(pp):
+            img = render_linear_diff(srebuild(pp), scam, k1, **skw)
+            img = img + shadow_fn(pp, scam, k2)
+            return jnp.mean((img - starget) ** 2)
+
+        l, g = jax.value_and_grad(loss)(p)
+        return l, {"quad_q": g["quad_q"] * mask}
+
+    sopt = optax.adam(0.08)
+    sstate = sopt.init(sparams)
+    sp = sparams
+    t2 = time.perf_counter()
+    bx_hist = []
+    for i in range(34):
+        sl, g = sgrad(sp, jax.random.PRNGKey(1000 + i))
+        up, sstate = sopt.update(g, sstate)
+        sp = jax.tree_util.tree_map(lambda a, b: a + b, sp, up)
+        bx_hist.append(round(float(sp["quad_q"][2, 0]) + 0.6, 4))
+        if i % 8 == 0 or i == 33:
+            print(f"shadow step {i:3d}  loss {float(sl):.5f}  bx {bx_hist[-1]:+.3f}",
+                  flush=True)
+    sdt = time.perf_counter() - t2
+    srec = render_linear_diff(srebuild(sp), scam, jax.random.PRNGKey(3), **skw)
+    write_png(f"{out_dir}/shadow_recovered.png", np.asarray(to_u8(srec)))
+    result["shadow"] = {
+        "wall_s": round(sdt, 1),
+        "recovered_bx": round(float(np.mean(bx_hist[-6:])), 3),
+        "true_bx": target_bx,
+        "init_bx": start_bx,
+        "bx_history": bx_hist,
     }
 
     with open(f"{out_dir}/history.json", "w") as f:
