@@ -123,8 +123,14 @@ def _measure(scene, cam, settings, *, spp, wavefront, repeats):
         use_megakernel=on_tpu and not persistent,
         rr_max_q=0.75,
         cluster_table=cluster_table,
+        # Production texture filtering (stochastic bilinear on the
+        # persistent path — ops/persistent_kernel round-4 note).
+        bilinear_stochastic=persistent,
         return_stats=True,
     )
+    rows_override = int(os.environ.get("RT_BENCH_ROWS", "0"))
+    if rows_override:
+        kw["persistent_rows"] = rows_override
     key = jax.random.PRNGKey(0)
     # Warmup / compile.
     img, segs, iters = render_regen(scene, cam, jax.random.fold_in(key, 999), **kw)
@@ -148,7 +154,8 @@ def _measure(scene, cam, settings, *, spp, wavefront, repeats):
     from raytracer_tpu.integrator.wavefront import strided_schedule
 
     n_lanes, num_slots, _ = strided_schedule(n, spp, wavefront)
-    lanes_per_iter = 8192 if kw["use_persistent"] else n_lanes
+    tile_lanes = (kw.get("persistent_rows") or 64) * 128
+    lanes_per_iter = tile_lanes if kw["use_persistent"] else n_lanes
     occupancy = total_segments / (total_iters * lanes_per_iter)
     out = {
         "traced_mrays_per_s": round(total_segments / dt / 1e6, 3),
@@ -292,6 +299,18 @@ def main() -> None:
                 )
             except Exception as e:
                 detail[extra] = {"error": str(e)[:200]}
+        # The BASELINE.md bilinear texture upgrade, at the production
+        # filter (stochastic single-tap, unbiased — round 4; statistical
+        # parity with deterministic bilinear pinned by
+        # scripts/check_persistent_tpu.py on this chip).
+        sc, cm, st = get_scene("earth", width=width, spp=500, bilinear=True)
+        try:
+            detail["earth_bilinear"] = _measure_with_retry(
+                sc, cm, st, spp=500,
+                wavefront=_wavefront_for(500, sc, st), repeats=repeats,
+            )
+        except Exception as e:
+            detail["earth_bilinear"] = {"error": str(e)[:200]}
         # Cornell box at its reference config (600x600 @ 200 spp,
         # main.go:194-225): quad-only geometry, emissive area light.
         sc, cm, st = get_scene("cornell")
@@ -324,6 +343,27 @@ def main() -> None:
             )
         except Exception as e:
             detail["large_10k"] = {"error": str(e)[:200]}
+        # 50K-sphere point (round-3 VERDICT #1): the two-level cluster
+        # hierarchy's deep-scaling evidence.
+        sc, cm, st = get_scene(
+            "rand_spheres_large", width=400, spp=64, n_spheres=50000
+        )
+        try:
+            detail["large_50k"] = _measure_with_retry(
+                sc, cm, st, spp=64,
+                wavefront=_wavefront_for(64, sc, st), repeats=repeats,
+            )
+        except Exception as e:
+            detail["large_50k"] = {"error": str(e)[:200]}
+        # 8K-quad field (round-3 VERDICT #6): quad cluster culling.
+        sc, cm, st = get_scene("quad_field", width=400, spp=64)
+        try:
+            detail["quad_field_8k"] = _measure_with_retry(
+                sc, cm, st, spp=64,
+                wavefront=_wavefront_for(64, sc, st), repeats=repeats,
+            )
+        except Exception as e:
+            detail["quad_field_8k"] = {"error": str(e)[:200]}
         # Book-canonical workload (BASELINE.md: 1200x800 @ 500 spp, 3:2,
         # gradient sky). Measured at the production spp CHUNK (125): the
         # VMEM retirement-log budget caps samples/lane at ~64, so

@@ -154,85 +154,205 @@ def build_bvh(scene: Scene, leaf_size: int = 4, use_native: bool = True) -> Flat
     )
 
 
-def cluster_scene(scene: Scene, max_leaf: int = 128):
-    """Cluster-order the scene's spheres along BVH subtree cuts (host, once
-    per scene) for the persistent kernel's in-kernel cluster culling.
+class ClusterSet(NamedTuple):
+    """Two-level cluster tables for the persistent kernel's in-kernel
+    culling (all rows 8-wide f32: [min(3), max(3), start, count]).
 
-    Cuts the BVH at the shallowest subtrees holding <= max_leaf spheres and
-    emits each subtree's spheres contiguously, so a single (start, count)
-    range plus one AABB describes a spatial cluster — the TPU analog of the
-    reference's subtree skip during traversal (bvh.go:220-249): the kernel
-    slab-tests each cluster AABB per lane and a tile-uniform `lax.cond`
-    skips the cluster's sphere loop when no live lane can hit it.
+    * `sph` (Gs, 8): fine sphere clusters; start/count index the permuted
+      sphere table.
+    * `sph_super` (Ss, 8): coarse level over the fine rows; start/count
+      index `sph` ROWS. (0, 8) when the scene is too small to benefit —
+      the kernel then runs the single-level loop.
+    * `quad` / `quad_super`: the same two levels for quads (start/count of
+      `quad` index the permuted quad table). (0, 8) disables quad culling
+      (dense quad loop).
 
-    Returns (scene with spheres permuted into cluster order — dummy radius-0
-    spheres dropped, they can never hit — and the cluster table (G, 8) f32
-    of [min(3), max(3), start, count]; start/count are exact in f32 for any
-    realistic scene size < 2^24). Quads are untouched (brute-force in
-    kernel). Materials/textures are shared tables keyed by sph_mat, so the
-    permutation only touches the three sphere arrays."""
-    ns = scene.num_spheres
-    bvh = build_bvh(scene, leaf_size=8)
+    Start/count are exact in f32 for any realistic scene size < 2^24.
+    """
+
+    sph: jnp.ndarray
+    sph_super: jnp.ndarray
+    quad: jnp.ndarray
+    quad_super: jnp.ndarray
+
+
+_EMPTY_ROWS = jnp.zeros((0, 8), jnp.float32)
+
+
+def _cut_walk(skip, leaf_start, leaf_count, order, counts, limit, lo=0, hi=None):
+    """Preorder walk over [lo, hi): emit the shallowest subtree roots whose
+    kind-count is <= limit (or that are leaves). `counts` is the per-node
+    kind count; nodes with zero kind prims are skipped entirely."""
+    cuts = []
+    i = lo
+    end = len(skip) if hi is None else hi
+    while i < end:
+        if counts[i] == 0:
+            i = skip[i]
+        elif counts[i] <= limit or leaf_start[i] >= 0:
+            cuts.append(i)
+            i = skip[i]
+        else:
+            i += 1
+    return cuts
+
+
+def _cluster_kind(
+    bvh: FlatBVH,
+    bmin,
+    bmax,
+    keep,
+    max_leaf: int,
+    super_fan: int,
+    min_fine_for_super: int,
+):
+    """Fine + super cluster rows for one primitive kind.
+
+    `keep(p)` selects the kind's global primitive ids. Returns
+    (perm: list of kind prim ids in cluster order, fine (G, 8) np rows,
+    super (S, 8) np rows) — supers empty when G < min_fine_for_super (one
+    slab level already covers a small table)."""
     skip = np.asarray(bvh.skip)
     leaf_start = np.asarray(bvh.leaf_start)
     leaf_count = np.asarray(bvh.leaf_count)
     order = np.asarray(bvh.prim_order)
-    bmin, bmax = primitive_bounds(scene)
 
-    # Subtree sphere counts via the preorder/skip structure.
     m = len(skip)
     counts = np.zeros(m, np.int64)
     for i in range(m - 1, -1, -1):
         if leaf_start[i] >= 0:
             prims = order[leaf_start[i] : leaf_start[i] + leaf_count[i]]
-            counts[i] = int((prims < ns).sum())
+            counts[i] = int(keep(prims).sum())
         else:
             left = i + 1
             right = skip[left]
             counts[i] = counts[left] + (counts[right] if right < m else 0)
 
-    cuts = []
-    i = 0
-    while i < m:
-        if counts[i] <= max_leaf or leaf_start[i] >= 0:
-            cuts.append(i)
-            i = skip[i]
-        else:
-            i += 1
-
-    perm: list[int] = []
-    cl_rows = []
-    for node in cuts:
-        start = len(perm)
+    def subtree_prims(node):
+        ids = []
         j = node
         end = skip[node]
         while j < end:
             if leaf_start[j] >= 0:
                 s, c = leaf_start[j], leaf_count[j]
-                perm.extend(int(p) for p in order[s : s + c] if p < ns)
+                ids.extend(int(p) for p in order[s : s + c] if keep(np.int64(p)))
             j += 1
-        if len(perm) == start:
-            continue  # quad-only subtree
-        ids = perm[start:]
-        cl_rows.append(
-            np.concatenate(
-                [
-                    bmin[ids].min(axis=0),
-                    bmax[ids].max(axis=0),
-                    [float(start), float(len(ids))],
-                ]
-            )
+        return ids
+
+    def row(ids, start, count):
+        return np.concatenate(
+            [bmin[ids].min(axis=0), bmax[ids].max(axis=0),
+             [float(start), float(count)]]
         )
-    if not perm:  # no real spheres: one dummy so shapes stay valid
-        perm = [0]
-        cl_rows = [np.array([0, 0, 0, 0, 0, 0, 0.0, 1.0])]
-    p = np.asarray(perm, np.int64)
-    scene_cl = scene.replace(
+
+    perm: list[int] = []
+    fine_rows: list[np.ndarray] = []
+    super_rows: list[np.ndarray] = []
+    coarse = _cut_walk(
+        skip, leaf_start, leaf_count, order, counts, max_leaf * super_fan
+    )
+    for cnode in coarse:
+        fine_lo = len(fine_rows)
+        for fnode in _cut_walk(
+            skip, leaf_start, leaf_count, order, counts, max_leaf,
+            lo=cnode, hi=skip[cnode],
+        ):
+            ids = subtree_prims(fnode)
+            if not ids:
+                continue
+            fine_rows.append(row(ids, len(perm), len(ids)))
+            perm.extend(ids)
+        if len(fine_rows) > fine_lo:
+            sub = np.stack(fine_rows[fine_lo:])
+            super_rows.append(
+                np.concatenate(
+                    [sub[:, 0:3].min(axis=0), sub[:, 3:6].max(axis=0),
+                     [float(fine_lo), float(len(fine_rows) - fine_lo)]]
+                )
+            )
+    fine = (
+        np.stack(fine_rows).astype(np.float32)
+        if fine_rows
+        else np.zeros((0, 8), np.float32)
+    )
+    if len(fine_rows) < min_fine_for_super:
+        sup = np.zeros((0, 8), np.float32)
+    else:
+        sup = np.stack(super_rows).astype(np.float32)
+    return perm, fine, sup
+
+
+def cluster_scene(
+    scene: Scene,
+    max_leaf: int = 128,
+    super_fan: int = 16,
+    min_fine_for_super: int = 24,
+):
+    """Cluster-order the scene's primitives along BVH subtree cuts (host,
+    once per scene) for the persistent kernel's in-kernel cluster culling.
+
+    Cuts the BVH at the shallowest subtrees holding <= max_leaf prims of a
+    kind and emits each subtree's prims contiguously, so a single
+    (start, count) range plus one AABB describes a spatial cluster — the
+    TPU analog of the reference's subtree skip during traversal
+    (bvh.go:220-249): the kernel slab-tests each cluster AABB per lane and
+    a tile-uniform `lax.cond` skips the cluster's primitive loop when no
+    live lane can hit it. Applies to spheres AND quads (the reference BVH
+    accepts any Hittable, bvh.go:132-141); each kind gets its own tables
+    because the kernel intersects them in separate loops.
+
+    Round 4 adds a SECOND level — super-clusters of <= max_leaf*super_fan
+    prims, cut from the same BVH so each super's fine clusters are
+    contiguous — restoring the *hierarchy* of bvh.go:220-249: one coarse
+    slab miss skips up to `super_fan` fine slab tests. Below
+    `min_fine_for_super` fine clusters the coarse level is dropped (the
+    extra slab + reduce per super would outweigh the skips).
+
+    Returns (scene with spheres and quads permuted into cluster order —
+    dummy prims dropped, they can never hit — and a ClusterSet).
+    Materials/textures are shared tables keyed by sph_mat/quad_mat, so the
+    permutation only touches the per-primitive arrays."""
+    ns = scene.num_spheres
+    bvh = build_bvh(scene, leaf_size=8)
+    bmin, bmax = primitive_bounds(scene)
+
+    s_perm, s_fine, s_super = _cluster_kind(
+        bvh, bmin, bmax, lambda p: p < ns, max_leaf, super_fan,
+        min_fine_for_super,
+    )
+    q_perm, q_fine, q_super = _cluster_kind(
+        bvh, bmin, bmax, lambda p: p >= ns, max_leaf, super_fan,
+        min_fine_for_super,
+    )
+
+    if not s_perm:  # no real spheres: one dummy so shapes stay valid
+        s_perm = [0]
+        s_fine = np.array([[0, 0, 0, 0, 0, 0, 0.0, 1.0]], np.float32)
+        s_super = np.zeros((0, 8), np.float32)
+    p = np.asarray(s_perm, np.int64)
+    repl = dict(
         sph_center=scene.sph_center[p],
         sph_radius=scene.sph_radius[p],
         sph_mat=scene.sph_mat[p],
     )
-    return scene_cl, jnp.asarray(np.stack(cl_rows), jnp.float32)
+    if q_perm:
+        q = np.asarray(q_perm, np.int64) - ns
+        repl.update(
+            quad_q=scene.quad_q[q],
+            quad_u=scene.quad_u[q],
+            quad_v=scene.quad_v[q],
+            quad_mat=scene.quad_mat[q],
+        )
+    else:
+        q_fine = np.zeros((0, 8), np.float32)
+        q_super = np.zeros((0, 8), np.float32)
+    scene_cl = scene.replace(**repl)
+    return scene_cl, ClusterSet(
+        sph=jnp.asarray(s_fine),
+        sph_super=jnp.asarray(s_super),
+        quad=jnp.asarray(q_fine),
+        quad_super=jnp.asarray(q_super),
+    )
 
 
 def _slab_test(box_min, box_max, o, inv_d, t_min, t_max):

@@ -465,6 +465,7 @@ def render_wavefront_regen(
     use_persistent: bool = False,
     persistent_rows: int = 0,
     cluster_table=None,
+    bilinear_stochastic: bool = False,
     return_stats: bool = False,
 ):
     """Render with *path regeneration*: a fixed-size wavefront where a lane
@@ -530,6 +531,7 @@ def render_wavefront_regen(
         use_persistent=use_persistent,
         persistent_rows=persistent_rows,
         cluster_table=cluster_table,
+        bilinear_stochastic=bilinear_stochastic,
         return_stats=return_stats,
     )
 
@@ -556,6 +558,7 @@ def regen_core(
     use_persistent: bool = False,
     persistent_rows: int = 0,
     cluster_table=None,
+    bilinear_stochastic: bool = False,
     return_stats: bool = False,
 ):
     """Run the regenerative wavefront loop over an explicit per-lane schedule
@@ -621,6 +624,7 @@ def regen_core(
             img_h=int(scene.images.shape[1]),
             img_w=int(scene.images.shape[2]),
             bilinear=scene.bilinear_textures,
+            bilinear_stochastic=bilinear_stochastic,
             **({"rows": persistent_rows} if persistent_rows else {}),
         )
         return _fold_log(

@@ -146,6 +146,7 @@ def sharded_samples_per_pass(spp: int, num_pixels: int, mesh: Mesh, target_rays:
         "use_megakernel",
         "use_persistent",
         "rr_max_q",
+        "bilinear_stochastic",
         "return_stats",
     ),
 )
@@ -166,6 +167,7 @@ def render_regen_sharded(
     use_persistent: bool = False,
     rr_max_q: float = 0.95,
     cluster_table=None,
+    bilinear_stochastic: bool = False,
     return_stats: bool = False,
 ):
     """The production fast path, sharded: every device runs the full
@@ -223,6 +225,7 @@ def render_regen_sharded(
             use_megakernel=use_megakernel,
             use_persistent=use_persistent,
             cluster_table=cluster_table,  # replicated closure capture
+            bilinear_stochastic=bilinear_stochastic,
             return_stats=True,
         )
         axes = (TILE_AXIS, SAMPLE_AXIS)
@@ -591,6 +594,9 @@ def render_image_sharded(
                     use_persistent=use_persistent,
                     rr_max_q=0.75 if use_persistent else 0.95,
                     cluster_table=cluster_table,
+                    # Same production stochastic-bilinear default as
+                    # render_image (ops/persistent_kernel round-4 note).
+                    bilinear_stochastic=use_persistent,
                     return_stats=metrics is not None,
                 )
                 if metrics is not None:

@@ -162,6 +162,7 @@ def render_pass(
         "use_persistent",
         "persistent_rows",
         "rr_max_q",
+        "bilinear_stochastic",
         "return_stats",
     ),
 )
@@ -182,6 +183,7 @@ def _render_regen_fb(
     persistent_rows: int = 0,
     rr_max_q: float = 0.95,
     cluster_table=None,
+    bilinear_stochastic: bool = False,
     return_stats: bool = False,
 ):
     frame = camera_frame(cam, width, height)
@@ -202,6 +204,7 @@ def _render_regen_fb(
         persistent_rows=persistent_rows,
         rr_max_q=rr_max_q,
         cluster_table=cluster_table,
+        bilinear_stochastic=bilinear_stochastic,
         return_stats=return_stats,
     )
 
@@ -349,32 +352,89 @@ def _render_large_scene(
 _CLUSTER_CACHE: dict[int, tuple] = {}
 
 
+# Production cluster granularity (see cluster_scene): fine clusters of
+# <= CLUSTER_LEAF prims, super-clusters of <= CLUSTER_LEAF * CLUSTER_FAN.
+# Round-4 sweep on v5e (tools/bench_large.py, 400x225@64spp sphere grids):
+# at 10K prims leaf 128/64/32 -> 37.0/41.2/41.0 Mrays/s; at 50K leaf 64/32
+# -> 19.6/19.7 and fan 16/32 a wash — the sphere tests saturate at the
+# tile's ray-footprint x density, so smaller leaves stop paying below 64.
+# RT_CLUSTER_LEAF / RT_CLUSTER_FAN override for probing.
+CLUSTER_LEAF = 64
+CLUSTER_FAN = 16
+
+
 def _clustered_scene_cached(scene: Scene):
+    import os
+
     from raytracer_tpu.geometry.bvh import cluster_scene
 
+    max_leaf = int(os.environ.get("RT_CLUSTER_LEAF", str(CLUSTER_LEAF)))
+    fan = int(os.environ.get("RT_CLUSTER_FAN", str(CLUSTER_FAN)))
     key = id(scene.sph_center)
     hit = _CLUSTER_CACHE.get(key)
-    if hit is None or hit[0] is not scene.sph_center:
-        hit = (scene.sph_center, *cluster_scene(scene))
+    if hit is None or hit[0] is not scene.sph_center or hit[3] != (max_leaf, fan):
+        hit = (
+            scene.sph_center,
+            *cluster_scene(scene, max_leaf=max_leaf, super_fan=fan),
+            (max_leaf, fan),
+        )
         if len(_CLUSTER_CACHE) >= 8:
             _CLUSTER_CACHE.pop(next(iter(_CLUSTER_CACHE)))
         _CLUSTER_CACHE[key] = hit
     return hit[1], hit[2]
 
 
+def _order_front_to_back(fine: np.ndarray, sup: np.ndarray, eye: np.ndarray):
+    """Sort one kind's cluster rows by eye distance. With a super level, the
+    supers are sorted AND each super's fine block is sorted in place (fine
+    rows must stay contiguous per super — the super's [start, count] indexes
+    fine ROWS); super starts are rebuilt for the new layout."""
+
+    def dist(rows):
+        c = (rows[:, 0:3] + rows[:, 3:6]) * 0.5
+        return ((c - eye) ** 2).sum(axis=1)
+
+    if fine.shape[0] == 0:
+        return fine, sup
+    if sup.shape[0] == 0:
+        return fine[np.argsort(dist(fine))], sup
+    new_fine, new_sup = [], []
+    pos = 0
+    for si in np.argsort(dist(sup)):
+        s, c = int(sup[si, 6]), int(sup[si, 7])
+        block = fine[s : s + c]
+        new_fine.append(block[np.argsort(dist(block))])
+        row = sup[si].copy()
+        row[6] = float(pos)
+        new_sup.append(row)
+        pos += c
+    return np.concatenate(new_fine), np.stack(new_sup)
+
+
 def cluster_for_render(scene: Scene, cam: Camera):
     """Cluster-order a large scene for the persistent kernel and sort the
-    cluster table front-to-back from the eye: camera rays (most segments)
+    cluster tables front-to-back from the eye: camera rays (most segments)
     find their nearest hit early, so the kernel's shrinking scaled-t bound
     culls the remaining clusters — the ordered-traversal benefit of
-    bvh.go:225-232. Row order is free to permute (start/count index the
-    permuted sphere table, not the row position). Returns
-    (permuted scene, cluster_table)."""
-    scene, cluster_table = _clustered_scene_cached(scene)
-    centers = np.asarray((cluster_table[:, 0:3] + cluster_table[:, 3:6]) * 0.5)
+    bvh.go:225-232. Fine-row order is free to permute within a super
+    (start/count index the permuted primitive tables, not the row
+    position). Returns (permuted scene, geometry.bvh.ClusterSet)."""
+    from raytracer_tpu.geometry.bvh import ClusterSet
+
+    scene, cs = _clustered_scene_cached(scene)
     eye = np.asarray(cam.look_from)
-    order = np.argsort(((centers - eye) ** 2).sum(axis=1))
-    return scene, cluster_table[order]
+    s_fine, s_sup = _order_front_to_back(
+        np.asarray(cs.sph), np.asarray(cs.sph_super), eye
+    )
+    q_fine, q_sup = _order_front_to_back(
+        np.asarray(cs.quad), np.asarray(cs.quad_super), eye
+    )
+    return scene, ClusterSet(
+        sph=jnp.asarray(s_fine),
+        sph_super=jnp.asarray(s_sup),
+        quad=jnp.asarray(q_fine),
+        quad_super=jnp.asarray(q_sup),
+    )
 
 
 def render_image(
@@ -533,6 +593,11 @@ def render_image(
                 # at 64 spp) while staying unbiased (RR throughput boost).
                 rr_max_q=0.75 if use_persistent else 0.95,
                 cluster_table=cluster_table,
+                # Production texture filtering on the persistent path is
+                # STOCHASTIC bilinear (single weighted tap, unbiased — see
+                # ops/persistent_kernel.py round-4 note); the deterministic
+                # 4-tap stays the parity/test reference.
+                bilinear_stochastic=use_persistent,
                 return_stats=metrics is not None,
             )
             if metrics is not None:

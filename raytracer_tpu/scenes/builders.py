@@ -228,6 +228,64 @@ def one_weekend_final(
     return scene, cam, settings._replace(sky_gradient=True)
 
 
+def quad_field(
+    seed: int = 0,
+    *,
+    width: int = 400,
+    spp: int = 32,
+    max_depth: int = 8,
+    n_spheres: int = 8000,  # named for CLI/bench symmetry; counts QUADS here
+    aspect: float = 16.0 / 9.0,
+    bucket: bool = False,
+):
+    """Large field of small tilted quads (default 8K) — the quad analog of
+    rand_spheres_large for the cluster-culled persistent path (round 4;
+    the reference BVH accepts any Hittable including quads via their padded
+    AABBs, bvh.go:132-141, hittables.go:161). Not a reference scene."""
+    n_quads = n_spheres
+    cam, settings = make_camera(
+        aspect,
+        width,
+        samples_per_pixel=spp,
+        max_depth=max_depth,
+        look_from=(13, 6, 3),
+        look_at=(0, 0, 0),
+        fov_degrees=40,
+        background=SKY_BLUE,
+    )
+    settings = settings._replace(sky_gradient=True)
+    b = SceneBuilder(seed)
+    rng = np.random.default_rng(seed + 2)
+    b.add_quad((-1000, 0, -1000), (2000, 0, 0), (0, 0, 2000),
+               b.lambertian((0.5, 0.5, 0.5)))
+    side = int(np.ceil(np.sqrt(n_quads)))
+    added = 0
+    for i in range(side):
+        for j in range(side):
+            if added == n_quads:
+                break
+            q = np.array(
+                [
+                    i - side / 2 + 0.9 * rng.random(),
+                    0.05 + 0.5 * rng.random(),
+                    j - side / 2 + 0.9 * rng.random(),
+                ],
+                np.float64,
+            )
+            # Small tilted quad: random in-plane basis of ~0.4 units.
+            u = rng.normal(size=3)
+            u /= np.linalg.norm(u)
+            v = rng.normal(size=3)
+            v -= u * (u @ v)
+            v /= np.linalg.norm(v)
+            b.add_quad(
+                tuple(q), tuple(0.4 * u), tuple(0.4 * v),
+                b.lambertian(tuple(rng.random(3) * rng.random(3))),
+            )
+            added += 1
+    return b.build(bucket_shapes=bucket), cam, settings
+
+
 def rand_spheres_large(
     seed: int = 0,
     *,

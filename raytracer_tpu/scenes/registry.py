@@ -14,6 +14,7 @@ SCENES = {
     "cornell": builders.cornell_box,
     "one_weekend_final": builders.one_weekend_final,
     "rand_spheres_large": builders.rand_spheres_large,
+    "quad_field": builders.quad_field,
 }
 
 

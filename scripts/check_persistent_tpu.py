@@ -43,12 +43,24 @@ SCENES = (
     ("earth_megakernel", "earth", dict(use_pallas=True, use_megakernel=True)),
 )
 
-# Scene-builder kwargs per scene name (earth_bilinear exercises the round-3
-# in-kernel 4-tap bilinear fetch on the real chip).
+# Scene-builder kwargs per scene name. earth_bilinear exercises the round-3
+# deterministic in-kernel 4-tap fetch; earth_bilinear_stochastic is the
+# round-4 PRODUCTION filter (one tap sampled with its bilinear weight —
+# unbiased, so its Monte-Carlo statistics must match the XLA deterministic
+# bilinear within sampling error; this is the E[tap]=bilinear check that
+# interpret mode cannot do with a stubbed PRNG).
 SCENES = SCENES + (
     ("earth_bilinear", "earth", dict(use_pallas=True, use_persistent=True)),
+    (
+        "earth_bilinear_stochastic",
+        "earth",
+        dict(use_pallas=True, use_persistent=True, bilinear_stochastic=True),
+    ),
 )
-BUILD_KW = {"earth_bilinear": dict(bilinear=True)}
+BUILD_KW = {
+    "earth_bilinear": dict(bilinear=True),
+    "earth_bilinear_stochastic": dict(bilinear=True),
+}
 
 
 def check_sample_counter() -> dict:

@@ -51,6 +51,10 @@ def build_scene(albedo0, albedo1, center1):
 def main() -> None:
     out_dir = "out/inverse"
     os.makedirs(out_dir, exist_ok=True)
+    # --checkpoint: resumable optimization (diff/opt_checkpoint.py) — kill
+    # the script at any point and rerun; stages 1-2 continue from the last
+    # save, bit-identically to an uninterrupted run.
+    use_ckpt = "--checkpoint" in sys.argv[1:]
     kw = dict(width=96, height=96, samples_per_pass=8, max_depth=5, sky_gradient=True)
 
     # Ground truth.
@@ -77,14 +81,22 @@ def main() -> None:
         learning_rate=3e-2,
     )
 
-    key = jax.random.PRNGKey(7)
+    from raytracer_tpu.diff.opt_checkpoint import opt_fingerprint, run_optimization
+
     history = []
+
+    def log_step(i, loss, every=20, last=299):
+        if i % every == 0 or i == last:
+            history.append({"step": i, "loss": loss})
+            print(f"step {i:4d}  loss {loss:.6f}", flush=True)
+
+    fp1 = opt_fingerprint(scene0, cam, target, ("tex_c0", 3e-2, kw), 7)
     t0 = time.perf_counter()
-    for i in range(300):
-        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i))
-        if i % 20 == 0 or i == 299:
-            history.append({"step": i, "loss": float(loss)})
-            print(f"step {i:4d}  loss {float(loss):.6f}", flush=True)
+    params, opt_state, _, _ = run_optimization(
+        step, params, opt_state, n_steps=300, seed=7, fingerprint=fp1,
+        checkpoint_path=f"{out_dir}/opt_stage1.npz" if use_ckpt else None,
+        save_every=25, on_step=log_step,
+    )
     dt = time.perf_counter() - t0
 
     final_scene = scene0.replace(**params)
@@ -119,16 +131,22 @@ def main() -> None:
         learning_rate=2e-2,
         boundary=True,
     )
-    gkey = jax.random.PRNGKey(13)
-    t1 = time.perf_counter()
     ghistory = []
-    for i in range(150):
-        gparams, gopt_state, gloss = gstep(
-            gparams, gopt_state, jax.random.fold_in(gkey, i)
-        )
+
+    def glog(i, loss):
         if i % 25 == 0 or i == 149:
-            ghistory.append({"step": i, "loss": float(gloss)})
-            print(f"geo step {i:4d}  loss {float(gloss):.6f}", flush=True)
+            ghistory.append({"step": i, "loss": loss})
+            print(f"geo step {i:4d}  loss {loss:.6f}", flush=True)
+
+    fp2 = opt_fingerprint(
+        wrong_geo, cam, target, ("sph_center", 2e-2, "boundary", kw), 13
+    )
+    t1 = time.perf_counter()
+    gparams, gopt_state, _, _ = run_optimization(
+        gstep, gparams, gopt_state, n_steps=150, seed=13, fingerprint=fp2,
+        checkpoint_path=f"{out_dir}/opt_stage2.npz" if use_ckpt else None,
+        save_every=25, on_step=glog,
+    )
     gdt = time.perf_counter() - t1
     geo_scene = wrong_geo.replace(**gparams)
     geo_img = render_linear_diff(geo_scene, cam, jax.random.PRNGKey(3), **kw)

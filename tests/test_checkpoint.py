@@ -112,3 +112,126 @@ def test_version_mismatch_raises(tmp_path):
     np.savez(ckpt, **data)
     with pytest.raises(ValueError, match="version"):
         load_checkpoint(ckpt)
+
+
+def test_optimizer_checkpoint_resume_bit_identical(tmp_path):
+    """Kill/resume an inverse-rendering optimization mid-run: the resumed
+    trajectory (params AND optimizer state) must be bit-identical to the
+    uninterrupted one — step keys are a pure function of (seed, step), so
+    only the carried state can differ, and it must not (round-3 VERDICT
+    missing #6 / SURVEY §5 checkpoint entry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.diff.grad import make_inverse_renderer, render_linear_diff
+    from raytracer_tpu.diff.opt_checkpoint import (
+        load_opt_checkpoint,
+        opt_fingerprint,
+        run_optimization,
+    )
+
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian((0.6, 0.3, 0.2)))
+    b.add_sphere((0, -101, -3), 100.0, b.lambertian((0.5, 0.5, 0.5)))
+    scene = b.build()
+    cam, _ = make_camera(1.0, 12, look_from=(0, 0, 1), look_at=(0, 0, -3))
+    kw = dict(width=12, height=12, samples_per_pass=2, max_depth=3,
+              sky_gradient=True)
+    target = render_linear_diff(scene, cam, jax.random.PRNGKey(42), **kw)
+
+    def fresh():
+        return make_inverse_renderer(
+            scene, cam, target, trainable=("tex_c0",), learning_rate=5e-2, **kw
+        )
+
+    fp = opt_fingerprint(scene, cam, target, ("tex_c0", 5e-2, kw), 7)
+    n_steps = 12
+
+    # Uninterrupted run.
+    p0, s0, step_fn = fresh()
+    p_full, s_full, step_full, losses_full = run_optimization(
+        step_fn, p0, s0, n_steps=n_steps, seed=7, fingerprint=fp
+    )
+    assert step_full == n_steps and len(losses_full) == n_steps
+
+    # Interrupted after 5 steps (save_every=2 -> last save at step 4, plus
+    # the early-stop save at 5), then resumed to completion.
+    ckpt = str(tmp_path / "opt.ckpt.npz")
+    p0, s0, step_fn = fresh()
+    _, _, stopped, _ = run_optimization(
+        step_fn, p0, s0, n_steps=n_steps, seed=7, fingerprint=fp,
+        checkpoint_path=ckpt, save_every=2, max_steps_this_run=5,
+    )
+    assert stopped == 5
+    ck = load_opt_checkpoint(
+        ckpt, params_like=p0, opt_state_like=s0, config_hash=fp
+    )
+    assert ck is not None and ck.step == 5
+
+    p0b, s0b, step_fn = fresh()
+    p_res, s_res, step_res, losses_res = run_optimization(
+        step_fn, p0b, s0b, n_steps=n_steps, seed=7, fingerprint=fp,
+        checkpoint_path=ckpt, save_every=2,
+    )
+    assert step_res == n_steps and len(losses_res) == n_steps - 5
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(p_full), jax.tree_util.tree_leaves(p_res)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(s_full), jax.tree_util.tree_leaves(s_res)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    # And the per-step losses of the overlap agree exactly.
+    np.testing.assert_array_equal(losses_full[5:], losses_res)
+
+
+def test_optimizer_checkpoint_refusals(tmp_path):
+    """Version/fingerprint/shape mismatches refuse loudly, like render
+    checkpoints."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from raytracer_tpu.diff.opt_checkpoint import (
+        OptCheckpoint,
+        load_opt_checkpoint,
+        save_opt_checkpoint,
+    )
+
+    params = {"x": jnp.ones((3,), jnp.float32)}
+    state = (jnp.zeros((), jnp.int32),)
+    path = str(tmp_path / "o.npz")
+    save_opt_checkpoint(
+        path, OptCheckpoint(params, state, 4, 1, "fp-a")
+    )
+    # Fingerprint mismatch.
+    with pytest.raises(ValueError, match="different"):
+        load_opt_checkpoint(
+            path, params_like=params, opt_state_like=state, config_hash="fp-b"
+        )
+    # Shape mismatch.
+    with pytest.raises(ValueError, match="refusing"):
+        load_opt_checkpoint(
+            path,
+            params_like={"x": jnp.ones((4,), jnp.float32)},
+            opt_state_like=state,
+            config_hash="fp-a",
+        )
+    # Happy path round-trips bit-identically.
+    ck = load_opt_checkpoint(
+        path, params_like=params, opt_state_like=state, config_hash="fp-a"
+    )
+    assert ck.step == 4
+    np.testing.assert_array_equal(np.asarray(ck.params["x"]), np.ones((3,)))
+    # Version mismatch.
+    import numpy as _np
+
+    with _np.load(path) as z:
+        data = dict(z)
+    data["version"] = _np.int64(99)
+    _np.savez(path[:-4], **data)
+    with pytest.raises(ValueError, match="version"):
+        load_opt_checkpoint(
+            path, params_like=params, opt_state_like=state, config_hash="fp-a"
+        )

@@ -365,9 +365,112 @@ def test_persistent_cluster_culling_matches_dense():
     )
     fb_dense, segs_d, _ = _render_persistent(scene, cam, settings, 2, 1024)
     scene_cl, cl_table = cluster_scene(scene, max_leaf=8)
-    assert cl_table.shape[0] > 1  # actually exercises multiple clusters
+    assert cl_table.sph.shape[0] > 1  # actually exercises multiple clusters
+    assert cl_table.quad.shape[0] >= 1  # quads culled too (round 4)
     fb_cl, segs_c, _ = _render_persistent(
         scene_cl, cam, settings, 2, 1024, cluster_table=cl_table
+    )
+    assert int(segs_d) == int(segs_c)
+    np.testing.assert_array_equal(fb_dense, fb_cl)
+
+
+def test_persistent_two_level_hierarchy_matches_dense():
+    """Two-level cluster culling (super-clusters over fine clusters) ==
+    dense loops, bit-identical — and the front-to-back row reordering of
+    cluster_for_render keeps results identical too (row order is free).
+
+    The grid is big enough (and max_leaf small enough) that
+    min_fine_for_super trips and a real super level exists for BOTH kinds:
+    a sphere grid AND a quad field."""
+    from raytracer_tpu.core.camera import Camera
+    from raytracer_tpu.geometry.bvh import cluster_scene
+    from raytracer_tpu.render.driver import _order_front_to_back
+
+    b = SceneBuilder(0)
+    lamb = b.lambertian((0.6, 0.5, 0.4))
+    metal = b.metal((0.8, 0.8, 0.8), 0.05)
+    mats = [lamb, metal]
+    for gx in range(10):
+        for gz in range(10):
+            c = (gx * 1.5 - 7.0, 0.4, gz * 1.5 - 7.0)
+            b.add_sphere(c, 0.3, mats[(gx + gz) % 2])
+    for gx in range(8):
+        for gz in range(8):
+            x0, z0 = gx * 1.8 - 7.2, gz * 1.8 - 7.2
+            b.add_quad((x0, 1.6, z0), (0.9, 0, 0), (0, 0, 0.9), lamb)
+    scene = b.build()
+    cam, settings = make_camera(
+        1.0, 24, samples_per_pixel=1, max_depth=4, background=(0.5, 0.6, 0.7),
+        look_from=(0, 9, 16), look_at=(0, 0, 0),
+    )
+    fb_dense, segs_d, _ = _render_persistent(scene, cam, settings, 1, 1024)
+    scene_cl, cs = cluster_scene(scene, max_leaf=4, super_fan=4,
+                                 min_fine_for_super=8)
+    assert cs.sph_super.shape[0] > 1, "no sphere super level built"
+    assert cs.quad_super.shape[0] > 1, "no quad super level built"
+    # Supers must tile the fine rows exactly (contiguous, disjoint, total).
+    for fine, sup in ((cs.sph, cs.sph_super), (cs.quad, cs.quad_super)):
+        sup = np.asarray(sup)
+        assert sup[0, 6] == 0.0
+        np.testing.assert_array_equal(
+            sup[1:, 6], np.cumsum(sup[:-1, 7])
+        )
+        assert int(sup[:, 7].sum()) == fine.shape[0]
+    fb_cl, segs_c, _ = _render_persistent(
+        scene_cl, cam, settings, 1, 1024, cluster_table=cs
+    )
+    assert int(segs_d) == int(segs_c)
+    np.testing.assert_array_equal(fb_dense, fb_cl)
+
+    # Front-to-back reordering (driver): same invariants, same image.
+    eye = np.asarray([0.0, 9.0, 16.0])
+    s_fine, s_sup = _order_front_to_back(
+        np.asarray(cs.sph), np.asarray(cs.sph_super), eye
+    )
+    q_fine, q_sup = _order_front_to_back(
+        np.asarray(cs.quad), np.asarray(cs.quad_super), eye
+    )
+    # Row multiset preserved; supers still tile the fine rows.
+    np.testing.assert_allclose(
+        np.sort(s_fine, axis=0), np.sort(np.asarray(cs.sph), axis=0)
+    )
+    assert int(s_sup[:, 7].sum()) == s_fine.shape[0]
+    cs2 = type(cs)(
+        sph=jnp.asarray(s_fine), sph_super=jnp.asarray(s_sup),
+        quad=jnp.asarray(q_fine), quad_super=jnp.asarray(q_sup),
+    )
+    fb_o, segs_o, _ = _render_persistent(
+        scene_cl, cam, settings, 1, 1024, cluster_table=cs2
+    )
+    assert int(segs_o) == int(segs_d)
+    np.testing.assert_array_equal(fb_dense, fb_o)
+
+
+def test_persistent_quad_cluster_with_image_uv_carry():
+    """Quad cluster culling must thread the (alpha, beta) UV carry through
+    the lax.cond skip machinery: an image-textured emissive quad field
+    renders bit-identically clustered vs dense."""
+    from raytracer_tpu.geometry.bvh import cluster_scene
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0.0, 1.0, (8, 8, 3)).astype(np.float32)
+    b = SceneBuilder(0)
+    light = b.diffuse_light(b.image(img))
+    for gx in range(5):
+        for gy in range(5):
+            x0, y0 = gx * 1.6 - 4.0, gy * 1.6 - 4.0
+            b.add_quad((x0, y0, -6.0), (1.2, 0, 0), (0, 1.2, 0), light)
+    scene = b.build()
+    assert scene.has_image
+    cam, settings = make_camera(
+        1.0, 16, samples_per_pixel=1, max_depth=3, background=(0.1, 0.2, 0.3),
+        look_from=(0, 0, 4), look_at=(0, 0, -1), fov_degrees=80,
+    )
+    fb_dense, segs_d, _ = _render_persistent(scene, cam, settings, 1, 1024)
+    scene_cl, cs = cluster_scene(scene, max_leaf=4)
+    assert cs.quad.shape[0] > 1
+    fb_cl, segs_c, _ = _render_persistent(
+        scene_cl, cam, settings, 1, 1024, cluster_table=cs
     )
     assert int(segs_d) == int(segs_c)
     np.testing.assert_array_equal(fb_dense, fb_cl)
@@ -490,3 +593,106 @@ def test_persistent_image_bilinear_exact():
     quad_frac = float((np.asarray(ref.prim_id) >= scene.num_spheres).mean())
     assert 0.1 < quad_frac < 0.9  # both UV paths exercised
     np.testing.assert_allclose(fb, want, rtol=2e-5, atol=2e-5)
+
+
+def test_persistent_stochastic_bilinear_tap_selection_exact():
+    """Production bilinear filtering is STOCHASTIC (one tap sampled with
+    its bilinear weight — unbiased; ops/persistent_kernel.py round-4 note).
+    The interpreter stubs the HW PRNG to zeros, making the tap choice
+    deterministic: u=0 < frac picks the +1 tap wherever frac > 0, i.e. the
+    fetched texel is exactly (floor(x)+ (fx>0), floor(y)+(fy>0)) clamped.
+    Pinning that image bit-close proves the index math and the single-tap
+    fetch machinery; the unbiasedness E[tap]=bilinear is checked
+    statistically on real hardware (scripts/check_persistent_tpu.py)."""
+    from raytracer_tpu.core.camera import camera_rays
+    from raytracer_tpu.geometry.intersect import intersect_scene
+
+    rng = np.random.default_rng(21)
+    img = rng.uniform(0.0, 1.0, (16, 48, 3)).astype(np.float32)
+    b = SceneBuilder(0)
+    b.add_sphere((0, 0, 0), 100.0, b.diffuse_light(b.image(img)))
+    scene = b.build(bilinear_textures=True)
+    w = 16
+    cam, settings = make_camera(
+        1.0, w, samples_per_pixel=1, max_depth=4, background=(9, 9, 9),
+        look_from=(0, 0, 0), look_at=(0.1, -0.1, -1),
+    )
+    fb, segs, _ = _render_persistent(
+        scene, cam, settings, 1, 1024, bilinear_stochastic=True
+    )
+    assert int(segs) == w * w
+
+    frame = camera_frame(cam, w, w)
+    pix = np.arange(w * w, dtype=np.int32)
+    uni = np.zeros((w * w, 4), np.float32)
+    o, d = camera_rays(
+        frame, jnp.asarray(pix % w), jnp.asarray(pix // w), jnp.asarray(uni)
+    )
+    ref = intersect_scene(scene, o, d)
+    h_t, w_t = img.shape[0], img.shape[1]
+    # Same conventions as textures._image_lookup_bilinear: u clamped,
+    # v flipped (materials.go:181-182).
+    x = np.clip(np.asarray(ref.u), 0.0, 1.0) * w_t - 0.5
+    y = (1.0 - np.clip(np.asarray(ref.v), 0.0, 1.0)) * h_t - 0.5
+    fx = x - np.floor(x)
+    fy = y - np.floor(y)
+    iu = np.clip(np.floor(x).astype(int) + (fx > 0), 0, w_t - 1)
+    iv = np.clip(np.floor(y).astype(int) + (fy > 0), 0, h_t - 1)
+    # Index the SCENE's texels (8-bit-quantized at build time), not the
+    # raw float input image.
+    want = np.asarray(scene.images)[0, iv, iu]
+    np.testing.assert_allclose(fb, want, rtol=2e-5, atol=2e-5)
+
+
+def test_persistent_image_bilinear_wide_two_band_exact():
+    """Wide images (padded width >= 256) take the round-4 TWO-BAND bilinear
+    scan (the v0/v1 texture rows are >= 2 chunks apart, so each row-band
+    scans separately); pin it bit-close against the XLA bilinear path on a
+    sphere AND a quad, exactly like the narrow-image test pins the shared
+    band."""
+    from raytracer_tpu.core.camera import camera_rays
+    from raytracer_tpu.geometry.intersect import intersect_scene
+    from raytracer_tpu.materials.textures import eval_texture
+    from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+
+    rng = np.random.default_rng(13)
+    img = rng.uniform(0.0, 1.0, (12, 320, 3)).astype(np.float32)
+    img2 = rng.uniform(0.0, 1.0, (9, 260, 3)).astype(np.float32)
+    b = SceneBuilder(0)
+    tex = b.image(img)
+    tex2 = b.image(img2)
+    b.add_sphere((0, 0, 0), 100.0, b.diffuse_light(tex))
+    b.add_quad(
+        (-0.8, -0.8, -2.0), (1.6, 0, 0), (0, 1.6, 0), b.diffuse_light(tex2)
+    )
+    scene = b.build(bilinear_textures=True)
+    assert scene.bilinear_textures and scene_supports_persistent(scene)
+    assert scene.images.shape[2] >= 256  # two-band path active
+    w = 16
+    cam, settings = make_camera(
+        1.0, w, samples_per_pixel=1, max_depth=4, background=(9, 9, 9),
+        look_from=(0, 0, 0), look_at=(0.1, -0.1, -1),
+    )
+    fb, segs, iters = _render_persistent(scene, cam, settings, 1, 1024)
+    assert int(segs) == w * w
+
+    frame = camera_frame(cam, w, w)
+    pix = np.arange(w * w, dtype=np.int32)
+    uni = np.zeros((w * w, 4), np.float32)
+    o, d = camera_rays(
+        frame, jnp.asarray(pix % w), jnp.asarray(pix // w), jnp.asarray(uni)
+    )
+    ref = intersect_scene(scene, o, d)
+    tex_ids = np.where(np.asarray(ref.prim_id) >= scene.num_spheres, tex2, tex)
+    want = np.asarray(
+        eval_texture(
+            scene, jnp.asarray(tex_ids, jnp.int32), ref.u, ref.v, ref.point
+        )
+    )
+    quad_frac = float((np.asarray(ref.prim_id) >= scene.num_spheres).mean())
+    assert 0.1 < quad_frac < 0.9
+    # Slightly looser than the narrow test: at 320-texel widths the UV ->
+    # texel-coordinate map amplifies invtrig/lerp rounding; observed max
+    # diff 4.5e-5 on 5/768 channels — far below one texel step (~0.1), so
+    # the taps are right and only blend weights differ in the last ulps.
+    np.testing.assert_allclose(fb, want, rtol=1e-4, atol=1e-4)
