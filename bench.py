@@ -237,6 +237,58 @@ def _measure_grad_step(
     }
 
 
+def _measure_grad_depth50(repeats: int):
+    """The reference-depth gradient point (round-3 VERDICT #2): one
+    inverse-render step at 400x225 @ 8spp, depth 50, through (a) the
+    checkpointed-scan backend and (b) the depth-bucketed tape-replay
+    backend (diff/bucketed.py — phase-compacted forward + per-path-length
+    replay buckets; exact to fp tolerance by test)."""
+    import statistics as _st
+
+    from raytracer_tpu.diff.bucketed import make_bucketed_grad_fn
+    from raytracer_tpu.diff.grad import render_loss, split_scene
+    from raytracer_tpu.scenes.registry import get_scene
+    from functools import partial
+
+    width, height, spp, depth = 400, 225, 8, 50
+    scene, cam, _ = get_scene("rand_spheres", width=width, spp=spp)
+    params, rebuild = split_scene(scene)
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    out = {"size": [width, height], "spp": spp, "max_depth": depth}
+
+    scan_fn = jax.jit(
+        jax.value_and_grad(
+            partial(
+                render_loss, rebuild=rebuild, cam=cam, target=target,
+                width=width, height=height, samples_per_pass=spp,
+                max_depth=depth,
+            )
+        )
+    )
+    bucket_fn = make_bucketed_grad_fn(
+        rebuild, cam, target, width=width, height=height,
+        samples_per_pass=spp, max_depth=depth,
+    )
+    key = jax.random.PRNGKey(7)
+    for name, fn, kw_style in (
+        ("scan", scan_fn, "kw"), ("bucketed", bucket_fn, "pos"),
+    ):
+        def run(k):
+            v, g = fn(params, key=k) if kw_style == "kw" else fn(params, k)
+            return float(v) + float(g["sph_center"].sum())
+
+        run(key)
+        run(jax.random.fold_in(key, 99))
+        walls = []
+        for r in range(repeats):
+            t0 = time.perf_counter()
+            run(jax.random.fold_in(key, r))
+            walls.append(time.perf_counter() - t0)
+        out[f"{name}_step_wall_s"] = round(_st.median_low(walls), 3)
+        out[f"{name}_walls_s"] = [round(x, 3) for x in walls]
+    return out
+
+
 def main() -> None:
     from raytracer_tpu.scenes.registry import get_scene
 
@@ -388,6 +440,12 @@ def main() -> None:
             detail["grad"] = _measure_grad_step(repeats=repeats)
         except Exception as e:
             detail["grad"] = {"error": str(e)[:200]}
+        # Reference-depth gradient point (depth 50, full 400x225): scan vs
+        # the round-4 depth-bucketed backend.
+        try:
+            detail["grad_depth50"] = _measure_grad_depth50(repeats=repeats)
+        except Exception as e:
+            detail["grad_depth50"] = {"error": str(e)[:200]}
 
     print(
         json.dumps(

@@ -68,14 +68,35 @@ from raytracer_tpu.materials.textures import eval_texture
 
 
 class ShadowEdgeConfig(NamedTuple):
-    """Static shadow-edge sampling knobs. Costs scale as
-    receivers x (4 * Q * samples_per_quad_edge + S * samples_per_sphere)
-    x 3 traces x spp_edge."""
+    """Static shadow-edge sampling knobs. Trace cost scales as
+    R x (4 * Kq * samples_per_quad_edge + Ks * samples_per_sphere)
+    x 3 traces x spp_edge, where R = receivers (or every pixel when 0) and
+    Kq/Ks = sources_per_receiver (or every quad/sphere when 0).
+
+    Round-4 scaling knobs (VERDICT #7 — the exhaustive estimator was
+    unusable past toy scenes):
+
+    * `receivers` > 0: instead of one edge estimate per PIXEL, sample R
+      receivers with probability proportional to the pixel's loss
+      cotangent magnitude (pixels the loss does not touch carry zero
+      gradient and are never sampled) and reweight by 1/(R p_i) — an
+      unbiased self-normalized importance scheme over receivers.
+    * `sources_per_receiver` > 0: per receiver, sample K edge SOURCES
+      (whole quads / whole spheres) with probability proportional to
+      their projected solid angle from that receiver (area/d^2, r^2/d^2)
+      and reweight by 1/(K p_j); a far or tiny blocker is rarely sampled
+      but keeps its exact expectation. Sampling whole sources keeps the
+      per-source line measure intact.
+
+    Both default 0 = exhaustive (the toy-scale behavior, used by the
+    bias-quantification tests)."""
 
     samples_per_quad_edge: int = 8  # per straight edge (x4 edges)
     samples_per_sphere: int = 32  # phi samples around each contour circle
     spp_edge: int = 2  # radiance samples per edge point per side
     eps_dir: float = 2e-3  # in/out angular offset from the edge (radians)
+    receivers: int = 0  # 0 = every pixel; else importance-sampled count
+    sources_per_receiver: int = 0  # 0 = every source of each kind
 
 
 def _trace_dirs(scene, origin, direction, key, *, background, max_depth,
@@ -123,7 +144,7 @@ def make_shadow_boundary_fn(
         # ---- receivers: one jittered camera ray per pixel ----------------
         n_pix = width * height
         pix = jnp.arange(n_pix, dtype=jnp.int32)
-        k_cam, k_tr = jax.random.split(key)
+        k_cam, k_recv, k_src, k_tr = jax.random.split(key, 4)
         cam_uni = jax.random.uniform(k_cam, (n_pix, 4), jnp.float32)
         o, d = camera_rays(frame, pix % width, pix // width, cam_uni)
         hit = intersect_scene(scene, o, d)
@@ -133,6 +154,28 @@ def make_shadow_boundary_fn(
         n_y = hit.normal
         rho = eval_texture(scene, scene.mat_tex[hit.mat_id], hit.u, hit.v, y)
         ct_px = ct.reshape(n_pix, 3)  # receiver i estimates pixel i
+
+        # ---- receiver subsampling (cfg.receivers > 0) --------------------
+        # Sample R receivers ∝ loss-cotangent magnitude and reweight by
+        # 1/(R p): unbiased, and pixels the loss does not touch (zero
+        # cotangent) are never traced. With an all-zero cotangent the
+        # weights vanish regardless of which indices get drawn, so the
+        # uniform fallback inside the probabilities is harmless.
+        n_recv = n_pix
+        if cfg.receivers and cfg.receivers < n_pix:
+            n_recv = cfg.receivers
+            s_imp = jnp.sum(jnp.abs(ct_px), axis=-1) * recv_ok + 1e-30
+            p_r = s_imp / jnp.sum(s_imp)
+            idx_r = jax.random.choice(
+                k_recv, n_pix, (n_recv,), replace=True, p=p_r
+            )
+            y = y[idx_r]
+            n_y = n_y[idx_r]
+            rho = rho[idx_r]
+            recv_ok = recv_ok[idx_r]
+            ct_px = ct_px[idx_r] / (
+                jnp.float32(n_recv) * p_r[idx_r]
+            )[:, None]
 
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
         pieces = []  # (omega_fn(params) -> (P*M, 3), w (P*M,), n_hat (P*M, 3))
@@ -227,23 +270,69 @@ def make_shadow_boundary_fn(
                 ],
                 axis=1,
             )
-            z_sg = jnp.broadcast_to(pts.reshape(1, Q * M4, 3), (n_pix, Q * M4, 3))
-            dz_sg = jnp.broadcast_to(dpts.reshape(1, Q * M4, 3), (n_pix, Q * M4, 3))
-            o3 = jnp.broadcast_to(out3d.reshape(1, Q * M4, 3), (n_pix, Q * M4, 3))
-            # Degenerate (dummy) quads have zero edge velocity -> masked by
-            # the tan_norm guard in finish().
-            valid = jnp.ones((n_pix, Q * M4), bool)
+            sel_q = None
+            if cfg.sources_per_receiver and Q > cfg.sources_per_receiver:
+                # Per-receiver source selection ∝ projected solid angle
+                # (area / d^2), reweighted by 1/(K p): the far/tiny quads
+                # keep their expectation but stop costing traces.
+                Kq = cfg.sources_per_receiver
+                area = jnp.linalg.norm(jnp.cross(u_sg, v_sg), axis=-1)
+                qc = q_sg + 0.5 * (u_sg + v_sg)
+                d2 = jnp.sum(
+                    (qc[None, :, :] - y_sg[:, None, :]) ** 2, axis=-1
+                )
+                imp = area[None, :] / jnp.maximum(d2, 1e-6) + 1e-20
+                p_src = imp / jnp.sum(imp, axis=-1, keepdims=True)
+                sel_q = jax.vmap(
+                    lambda k_, lg: jax.random.categorical(k_, lg, shape=(Kq,))
+                )(
+                    jax.random.split(jax.random.fold_in(k_src, 0), n_recv),
+                    jnp.log(p_src),
+                )  # (P, Kq)
+                w_src = 1.0 / (
+                    jnp.float32(Kq)
+                    * jnp.take_along_axis(p_src, sel_q, axis=-1)
+                )  # (P, Kq)
+                z_sg = pts[sel_q].reshape(n_recv, Kq * M4, 3)
+                dz_sg = dpts[sel_q].reshape(n_recv, Kq * M4, 3)
+                o3 = out3d[sel_q].reshape(n_recv, Kq * M4, 3)
+                valid = jnp.ones((n_recv, Kq * M4), bool)
+                dl = jnp.broadcast_to(
+                    (w_src / Me)[:, :, None], (n_recv, Kq, M4)
+                ).reshape(n_recv, Kq * M4)
+                n_qsel = Kq
+            else:
+                z_sg = jnp.broadcast_to(
+                    pts.reshape(1, Q * M4, 3), (n_recv, Q * M4, 3)
+                )
+                dz_sg = jnp.broadcast_to(
+                    dpts.reshape(1, Q * M4, 3), (n_recv, Q * M4, 3)
+                )
+                o3 = jnp.broadcast_to(
+                    out3d.reshape(1, Q * M4, 3), (n_recv, Q * M4, 3)
+                )
+                # Degenerate (dummy) quads have zero edge velocity -> masked
+                # by the tan_norm guard in finish().
+                valid = jnp.ones((n_recv, Q * M4), bool)
+                dl = 1.0 / Me
+                n_qsel = Q
 
-            def quad_omega(p):
+            def quad_omega(p, sel_q=sel_q, n_qsel=n_qsel):
                 q = p.get("quad_q", scene.quad_q)
                 u = p.get("quad_u", scene.quad_u)
                 v = p.get("quad_v", scene.quad_v)
                 z, _ = quad_edge_points(q, u, v, tau)
-                rel = z.reshape(1, Q * M4, 3) - y_sg[:, None, :]
+                if sel_q is not None:
+                    zsel = z[sel_q]  # (P, Kq, 4Me, 3); indices stop-grad
+                    rel = zsel.reshape(n_recv, n_qsel * M4, 3) - y_sg[:, None, :]
+                else:
+                    rel = z.reshape(1, Q * M4, 3) - y_sg[:, None, :]
                 n = jnp.linalg.norm(rel, axis=-1, keepdims=True)
-                return (rel / jnp.maximum(n, 1e-9)).reshape(n_pix * Q * M4, 3)
+                return (rel / jnp.maximum(n, 1e-9)).reshape(
+                    n_recv * n_qsel * M4, 3
+                )
 
-            finish(z_sg, dz_sg, o3, valid, 1.0 / Me, quad_omega)
+            finish(z_sg, dz_sg, o3, valid, dl, quad_omega)
 
         # ---- sphere contours seen from each receiver ----------------------
         if ("sph_center" in params or "sph_radius" in params) and scene.num_spheres:
@@ -276,26 +365,74 @@ def make_shadow_boundary_fn(
             # Outward hint: the sphere surface normal at the contour point.
             n3d = pts - c_sg[None, :, None, :]
             # Dummy spheres (radius 0) are invalid via sphere_contour_points.
-            valid = jnp.broadcast_to(valid_s[:, :, None], (n_pix, S, Mp))
 
-            z_sg2 = pts.reshape(n_pix, S * Mp, 3)
-            dz_sg2 = dpts.reshape(n_pix, S * Mp, 3)
-            o32 = n3d.reshape(n_pix, S * Mp, 3)
+            sel_s = None
+            if cfg.sources_per_receiver and S > cfg.sources_per_receiver:
+                # Per-receiver selection ∝ projected solid angle (r/d)^2;
+                # invalid contours (receiver inside the sphere, dummies)
+                # get ~zero probability.
+                Ks = cfg.sources_per_receiver
+                imp = (r_abs / jnp.maximum(dd, 1e-6)) ** 2 * valid_s + 1e-20
+                p_src = imp / jnp.sum(imp, axis=-1, keepdims=True)
+                sel_s = jax.vmap(
+                    lambda k_, lg: jax.random.categorical(k_, lg, shape=(Ks,))
+                )(
+                    jax.random.split(jax.random.fold_in(k_src, 1), n_recv),
+                    jnp.log(p_src),
+                )  # (P, Ks)
+                w_src = 1.0 / (
+                    jnp.float32(Ks)
+                    * jnp.take_along_axis(p_src, sel_s, axis=-1)
+                )
+                gat = lambda a: jnp.take_along_axis(
+                    a, sel_s[:, :, None, None], axis=1
+                )
+                pts_g = gat(pts)  # (P, Ks, Mp, 3)
+                dpts_g = gat(dpts)
+                n3d_g = gat(n3d)
+                valid_g = jnp.take_along_axis(valid_s, sel_s, axis=1)
+                valid = jnp.broadcast_to(
+                    valid_g[:, :, None], (n_recv, Ks, Mp)
+                )
+                dl = jnp.broadcast_to(
+                    (w_src * (2.0 * math.pi / Mp))[:, :, None],
+                    (n_recv, Ks, Mp),
+                ).reshape(n_recv, Ks * Mp)
+                z_sg2 = pts_g.reshape(n_recv, Ks * Mp, 3)
+                dz_sg2 = dpts_g.reshape(n_recv, Ks * Mp, 3)
+                o32 = n3d_g.reshape(n_recv, Ks * Mp, 3)
+                n_ssel = Ks
+            else:
+                valid = jnp.broadcast_to(valid_s[:, :, None], (n_recv, S, Mp))
+                dl = 2.0 * math.pi / Mp
+                z_sg2 = pts.reshape(n_recv, S * Mp, 3)
+                dz_sg2 = dpts.reshape(n_recv, S * Mp, 3)
+                o32 = n3d.reshape(n_recv, S * Mp, 3)
+                n_ssel = S
 
-            def sphere_omega(p):
+            def sphere_omega(p, sel_s=sel_s, n_ssel=n_ssel):
                 c = p.get("sph_center", scene.sph_center)
                 r = p.get("sph_radius", scene.sph_radius)
 
                 def one(eye):
                     z, _ = sphere_contour_points(c, r, eye, phi)
-                    rel = z.reshape(S * Mp, 3) - eye[None, :]
-                    n = jnp.linalg.norm(rel, axis=-1, keepdims=True)
-                    return rel / jnp.maximum(n, 1e-9)
+                    return z  # (S, Mp, 3)
 
-                return jax.vmap(one)(y_sg).reshape(n_pix * S * Mp, 3)
+                z = jax.vmap(one)(y_sg)  # (P, S, Mp, 3)
+                if sel_s is not None:
+                    z = jnp.take_along_axis(
+                        z, sel_s[:, :, None, None], axis=1
+                    )  # (P, Ks, Mp, 3)
+                rel = z.reshape(n_recv, n_ssel * Mp, 3) - y_sg[:, None, :]
+                n = jnp.linalg.norm(rel, axis=-1, keepdims=True)
+                return (rel / jnp.maximum(n, 1e-9)).reshape(
+                    n_recv * n_ssel * Mp, 3
+                )
 
-            finish(z_sg2, dz_sg2, o32, valid.reshape(n_pix, S * Mp),
-                   2.0 * math.pi / Mp, sphere_omega)
+            finish(
+                z_sg2, dz_sg2, o32, valid.reshape(n_recv, n_ssel * Mp),
+                dl, sphere_omega,
+            )
 
         if not pieces:
             return zeros

@@ -161,11 +161,21 @@ def trace(
     intersect_fn_differentiable: bool = False,
     fixed_trip_count: bool = False,
     return_tape: bool = False,
+    init_throughput=None,
+    init_radiance=None,
+    init_alive=None,
+    return_state: bool = False,
 ):
     """Trace a batch of rays to completion; returns radiance (N, 3)
     (or (radiance, traced_segment_count) with return_stats=True; with
     return_tape=True additionally the (max_depth, N) i32 per-bounce winner
     tape — see diff/tape.py).
+
+    `init_throughput` / `init_radiance` / `init_alive` resume mid-path
+    lanes (phase-compacted tracing, diff/bucketed.py): the batch continues
+    with the given carried state instead of fresh camera rays' (1, 0,
+    True). `return_state=True` appends the final WavefrontState so a
+    caller can compact survivors and resume in a later call.
 
     Depth exhaustion contributes black (ray.go:33-35): lanes still alive after
     `max_depth` bounces simply never add their tail.
@@ -188,9 +198,13 @@ def trace(
     init = WavefrontState(
         origin=origin,
         direction=direction,
-        throughput=jnp.ones((n, 3), dtype),
-        radiance=jnp.zeros((n, 3), dtype),
-        alive=jnp.ones((n,), bool),
+        throughput=(
+            jnp.ones((n, 3), dtype) if init_throughput is None else init_throughput
+        ),
+        radiance=(
+            jnp.zeros((n, 3), dtype) if init_radiance is None else init_radiance
+        ),
+        alive=jnp.ones((n,), bool) if init_alive is None else init_alive,
         key=key,
         bounce=jnp.int32(0),
         segments=jnp.int32(0),
@@ -233,6 +247,8 @@ def trace(
             step,
             init,
         )
+    if return_state:
+        return final
     if return_stats and return_tape:
         return final.radiance, final.segments, final.tape
     if return_stats:

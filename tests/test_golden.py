@@ -20,12 +20,13 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_stats.json")
 CFG = dict(width=96, spp=24, max_depth=10)
 SEED = 12345
 
-# Scenes deliberately without goldens: rand_spheres_large is a 10K-primitive
-# scale workload whose CPU render would dominate the suite's runtime; its
-# correctness is covered by the large-scene oracle tests
-# (tests/test_large_scene.py) and it shares every component with
-# rand_spheres, which is pinned.
-GOLDEN_EXEMPT = {"rand_spheres_large"}
+# Scenes deliberately without goldens: rand_spheres_large / quad_field are
+# 10K/8K-primitive scale workloads whose CPU renders would dominate the
+# suite's runtime; their correctness is covered by the large-scene oracle
+# tests (tests/test_large_scene.py) and the clustered-vs-dense bit-identity
+# tests (tests/test_persistent_kernel.py), and they share every component
+# with rand_spheres / quads, which are pinned.
+GOLDEN_EXEMPT = {"rand_spheres_large", "quad_field"}
 
 
 def _stats(img: np.ndarray) -> dict:

@@ -260,3 +260,118 @@ def test_fd_matches_ior_gradient_smooth_scene():
     pm = dict(params); pm["mat_ior"] = params["mat_ior"] - jnp.asarray(e)
     fd = (loss_avg(pp) - loss_avg(pm)) / (2 * eps)
     assert abs(ad - fd) < 0.25 * abs(fd) + 5e-4, (fd, ad)
+
+
+def test_bucketed_grads_match_full_depth_scan():
+    """Depth-bucketed tape-replay backend (diff/bucketed.py) == one
+    full-depth differentiable scan with the SAME per-lane uniforms: loss
+    equal and every parameter gradient equal to fp tolerance. The scene
+    mixes all four materials so every scatter branch crosses the bucket
+    machinery; quant is tiny so bucket padding (zero-cotangent lanes) is
+    exercised."""
+    import numpy as np
+    from functools import partial
+
+    from raytracer_tpu.core.camera import camera_frame, camera_rays, make_camera
+    from raytracer_tpu.diff.bucketed import (
+        _lane_uniforms,
+        make_bucketed_grad_fn,
+    )
+    from raytracer_tpu.diff.grad import split_scene
+    from raytracer_tpu.geometry.scene import SceneBuilder
+    from raytracer_tpu.integrator.wavefront import trace
+
+    b = SceneBuilder(0)
+    b.add_sphere((0, -100.6, -3), 100.0, b.lambertian((0.5, 0.6, 0.4)))
+    b.add_sphere((-0.9, 0, -3), 0.5, b.lambertian((0.7, 0.2, 0.1)))
+    b.add_sphere((0.2, 0, -3), 0.5, b.metal((0.8, 0.8, 0.9), 0.1))
+    b.add_sphere((1.2, 0, -3), 0.5, b.dielectric(1.5))
+    b.add_sphere((0, 2.2, -3), 0.7, b.diffuse_light((3, 3, 3)))
+    scene = b.build()
+    cam, _ = make_camera(1.0, 16, look_from=(0, 0.2, 1), look_at=(0, 0, -3))
+    w = h = 16
+    spp, max_depth = 2, 6
+    params, rebuild = split_scene(scene)
+    key = jax.random.PRNGKey(5)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    step = make_bucketed_grad_fn(
+        rebuild, cam, target, width=w, height=h, samples_per_pass=spp,
+        max_depth=max_depth, sky_gradient=True, quant=64,
+    )
+    loss_b, grads_b = step(params, key)
+
+    # Reference: identical rays/uniforms through ONE full-depth replay
+    # (tape intersector, NO bucketing) — isolates the bucketing machinery
+    # exactly. (Tape-vs-scan is itself covered by tests/test_tape.py; the
+    # residual ~2e-3 relative difference on geometry grads between the
+    # frozen-argmin scan and the winner-t-recompute replay is an fp-path
+    # property of the tape backend, measured here round 4, not bucketing.)
+    from raytracer_tpu.diff.tape import make_tape_intersect_fn
+
+    n, total = w * h, w * h * spp
+
+    def ref_loss(p, key, use_tape):
+        sc = rebuild(p)
+        frame = camera_frame(cam, w, h)
+        key_cam, key_u = jax.random.split(key)
+        pix = jnp.arange(total, dtype=jnp.int32) % n
+        cam_uni = jax.random.uniform(key_cam, (total, 4), jnp.float32)
+        o, d = camera_rays(frame, pix % w, pix // w, cam_uni)
+        useq = jnp.transpose(
+            _lane_uniforms(key_u, jnp.arange(total, dtype=jnp.int32), max_depth),
+            (1, 0, 2),
+        )
+        ifn = None
+        if use_tape:
+            sg = jax.lax.stop_gradient
+            _, tape = trace(
+                sg(sc), sg(o), sg(d), jax.random.PRNGKey(0),
+                sg(cam.background), max_depth=max_depth, sky_gradient=True,
+                uniform_seq=sg(useq), return_tape=True,
+            )
+            ifn = make_tape_intersect_fn(tape)
+        radiance = trace(
+            sc, o, d, jax.random.PRNGKey(0), cam.background,
+            max_depth=max_depth, sky_gradient=True, differentiable=True,
+            uniform_seq=useq, intersect_fn=ifn,
+            intersect_fn_differentiable=True,
+        )
+        img = radiance.reshape(spp, n, 3).mean(0).reshape(h, w, 3)
+        return jnp.mean((img - target) ** 2)
+
+    loss_r, grads_r = jax.value_and_grad(
+        partial(ref_loss, key=key, use_tape=True)
+    )(params)
+    np.testing.assert_allclose(float(loss_b), float(loss_r), rtol=1e-5)
+    for name in params:
+        np.testing.assert_allclose(
+            np.asarray(grads_b[name]), np.asarray(grads_r[name]),
+            rtol=2e-4, atol=2e-6, err_msg=name,
+        )
+    # And the scan backend agrees on the loss and non-geometry grads (the
+    # geometry leaves carry the tape backend's fp-path difference, bounded).
+    loss_s, grads_s = jax.value_and_grad(
+        partial(ref_loss, key=key, use_tape=False)
+    )(params)
+    np.testing.assert_allclose(float(loss_b), float(loss_s), rtol=1e-5)
+    for name in params:
+        np.testing.assert_allclose(
+            np.asarray(grads_b[name]), np.asarray(grads_s[name]),
+            rtol=6e-3, atol=3e-4, err_msg=f"{name} (vs scan)",
+        )
+
+
+def test_uniform_prefix_stability():
+    """diff/bucketed.py relies on jax.random.uniform being PREFIX-STABLE
+    across draw shapes with the default threefry implementation: the first
+    d rows of a (D, U) draw equal a (d, U) draw from the same key. This is
+    an implementation property of counter-based threefry (bits are indexed
+    by flat position) — if a JAX upgrade breaks it, bucketed gradients
+    would silently decorrelate from their forward tapes; fail loudly here
+    instead."""
+    k = jax.random.PRNGKey(123)
+    full = jax.random.uniform(k, (50, 7))
+    for d in (1, 2, 3, 16, 49):
+        part = jax.random.uniform(k, (d, 7))
+        assert jnp.array_equal(full[:d], part), d
