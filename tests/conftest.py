@@ -11,6 +11,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# The PJRT CPU client's execute pool defaults to ~the core count; the Pallas
+# TPU interpreter barriers every pallas_call across ALL devices, so an
+# 8-device fused kernel+collective program deadlocks on a 4-core host unless
+# the pool is sized past the device count (XLA reads PJRT_NPROC; must be set
+# BEFORE the backend initializes — docs/PERF_NOTES.md round 4).
+os.environ.setdefault("PJRT_NPROC", "16")
 
 import jax
 

@@ -86,8 +86,10 @@ def main():
             flush=True,
         )
 
-    for ablate in ("", "resolve", "retire", "resolve,retire"):
-        run(ablate, True)
+    # ';'-separated ablate modes; "none" = the production kernel.
+    modes = os.environ.get("RT_PROBE_ABLATE", "none;resolve;retire").split(";")
+    for ablate in modes:
+        run("" if ablate == "none" else ablate, True)
 
 
 if __name__ == "__main__":
