@@ -18,7 +18,7 @@ Pipeline (one optimization step):
    dead lane is exact, so over-estimating L is safe and under-estimating
    is impossible: a lane alive at bounce b hit at b-1).
 2. **Host bucketing** (one tiny L transfer): lanes sorted into buckets of
-   static depths (2, 4, 8, ..., max_depth), each padded to a quantized
+   static depths (1, 2, 4, ..., max_depth), each padded to a quantized
    size so recompiles are bounded (sizes repeat across steps of an
    optimization — the depth distribution of a scene is stable).
 3. **Per-bucket differentiable replay**: the SAME checkpointed-scan
