@@ -65,6 +65,14 @@ def main(argv=None) -> None:
         "(must divide the device count)",
     )
     ap.add_argument(
+        "--bilinear",
+        action="store_true",
+        help="bilinear texture filtering (scenes with image textures; the "
+        "reference is nearest-neighbor, materials.go:184-192). On the TPU "
+        "persistent path this filters stochastically — one tap sampled "
+        "with its bilinear weight, unbiased (ops/persistent_kernel.py)",
+    )
+    ap.add_argument(
         "--no-bucket",
         action="store_true",
         help="disable scene-table size bucketing (bucketing lets scenes with "
@@ -76,6 +84,12 @@ def main(argv=None) -> None:
         ap.error("--sample-parallel requires --shard")
 
     overrides = {"bucket": not args.no_bucket}
+    if args.bilinear:
+        import inspect
+
+        if "bilinear" not in inspect.signature(SCENES[args.scene]).parameters:
+            ap.error(f"--bilinear is not supported by scene {args.scene!r}")
+        overrides["bilinear"] = True
     if args.width is not None:
         overrides["width"] = args.width
     if args.spp is not None:
