@@ -88,11 +88,58 @@ def check_sample_counter() -> dict:
             "minmax": [float(a.min()), float(a.max())]}
 
 
+def check_large_scene_clustered(spp: int = 32) -> dict:
+    """The two-level cluster-culled persistent path vs the independent
+    megakernel wavefront (ik.intersect_pallas dense SMEM loop) on a 10K
+    sphere grid, on real hardware, statistically. (Bit-identity of
+    clustered vs dense persistent loops is pinned in interpret mode —
+    tests/test_persistent_kernel.py; this adds an on-chip cross-check
+    against a different estimator implementation entirely.)"""
+    from raytracer_tpu.render.driver import cluster_for_render
+    from raytracer_tpu.scenes.registry import get_scene
+
+    scene, cam, settings = get_scene(
+        "rand_spheres_large", width=200, spp=spp, n_spheres=10000
+    )
+    w, h = settings.width, settings.height
+    kw = dict(
+        width=w, height=h, spp=spp, wavefront_size=1 << 18,
+        max_depth=settings.max_depth, sky_gradient=settings.sky_gradient,
+        rr_max_q=0.75,
+    )
+    scene_cl, cl = cluster_for_render(scene, cam)
+    a = np.asarray(
+        render_regen(
+            scene_cl, cam, jax.random.PRNGKey(11), **kw,
+            use_pallas=True, use_persistent=True, cluster_table=cl,
+        )
+    )
+    b = np.asarray(
+        render_regen(
+            scene, cam, jax.random.PRNGKey(12), **kw,
+            use_pallas=True, use_megakernel=True,
+        )
+    )
+    mean_a, mean_b = a.mean((0, 1)), b.mean((0, 1))
+    ok = bool(
+        np.allclose(mean_a, mean_b, rtol=0.02, atol=0.004)
+        and abs(float(a.std()) - float(b.std())) < 0.05 * max(float(b.std()), 0.1)
+    )
+    return {
+        "ok": ok,
+        "mean_clustered": [round(float(x), 4) for x in mean_a],
+        "mean_megakernel": [round(float(x), 4) for x in mean_b],
+        "std": [round(float(a.std()), 4), round(float(b.std()), 4)],
+    }
+
+
 def main() -> int:
     spp = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     results, ok_all = {}, True
     results["sample_counter_small_wavefront"] = check_sample_counter()
     ok_all &= results["sample_counter_small_wavefront"]["ok"]
+    results["large_10k_clustered_vs_megakernel"] = check_large_scene_clustered()
+    ok_all &= results["large_10k_clustered_vs_megakernel"]["ok"]
     for name, scene_name, fast_flags in SCENES:
         scene, cam, settings = get_scene(
             scene_name, width=200, spp=spp, **BUILD_KW.get(name, {})
