@@ -266,70 +266,83 @@ def make_bucketed_grad_fn(
         loss, ct_lane, lane_depth = loss_ct_depth(radiance, tape)
         return loss, tape, ct_lane, np.asarray(lane_depth)
 
-    @partial(jax.jit, static_argnames=("depth",))
-    def bucket_grad(params, key, idx, mask, ct_lane, tape, grads_in, *, depth: int):
-        """Gradient contribution of one bucket, accumulated onto grads_in:
-        VJP of params -> sum(replay_radiance[idx] * ct), ct masked to zero
-        on padded lanes."""
+    @jax.jit
+    def all_buckets_grad(params, key, ct_lane, tape, bucket_args):
+        """Gradient of the loss: the sum over buckets of the VJP of
+        params -> sum(replay_radiance[idx] * ct), ct masked to zero on
+        padded lanes. `bucket_args` is a tuple aligned with `ladder` of
+        (idx, mask) pairs or None for empty buckets — its pytree structure
+        (and the padded sizes) are the only compile keys, so ONE launch
+        covers every bucket. (Measured NEUTRAL vs a launch per bucket —
+        the small-config floor is the phased forward, not dispatch — but
+        one program means one compile key and simpler accumulation.)"""
         key_cam, key_u = jax.random.split(key)
         frame = camera_frame(cam, width, height)
-        pix = idx % n  # lane id -> pixel id (lane = s * n + pixel)
         cam_uni_all = jax.random.uniform(key_cam, (total, 4), jnp.float32)
-        tape_b = tape[:depth][:, idx]  # (depth, B)
-        # Per-lane uniform streams are PREFIX-STABLE across draw shapes
-        # (uniform(key, (d, U)) == uniform(key, (D, U))[:d] — pinned by
-        # tests/test_grad.py::test_uniform_prefix_stability), so the bucket
-        # generates only its own depth's worth.
-        useq_b = jnp.transpose(_lane_uniforms(key_u, idx, depth), (1, 0, 2))
-        ct_rows = ct_lane[idx] * mask[:, None]
 
-        def scalar_loss(p):
-            scene = rebuild(p)
-            o, d = camera_rays(
-                frame, pix % width, pix // width, cam_uni_all[idx]
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        for depth, ba in zip(ladder, bucket_args):
+            if ba is None:
+                continue
+            idx, mask = ba
+            pix = idx % n  # lane id -> pixel id (lane = s * n + pixel)
+            tape_b = tape[:depth][:, idx]  # (depth, B)
+            # Per-lane uniform streams are PREFIX-STABLE across draw shapes
+            # (uniform(key, (d, U)) == uniform(key, (D, U))[:d] — pinned by
+            # tests/test_grad.py::test_uniform_prefix_stability), so the
+            # bucket generates only its own depth's worth.
+            useq_b = jnp.transpose(
+                _lane_uniforms(key_u, idx, depth), (1, 0, 2)
             )
-            radiance = trace(
-                scene,
-                o,
-                d,
-                jax.random.PRNGKey(0),
-                cam.background,
-                max_depth=depth,
-                sky_gradient=sky_gradient,
-                differentiable=True,
-                uniform_seq=useq_b,
-                intersect_fn=make_tape_intersect_fn(tape_b),
-                intersect_fn_differentiable=True,
+            ct_rows = ct_lane[idx] * mask[:, None]
+
+            def scalar_loss(p, pix=pix, idx=idx, useq_b=useq_b,
+                            tape_b=tape_b, ct_rows=ct_rows, depth=depth):
+                scene = rebuild(p)
+                o, d = camera_rays(
+                    frame, pix % width, pix // width, cam_uni_all[idx]
+                )
+                radiance = trace(
+                    scene,
+                    o,
+                    d,
+                    jax.random.PRNGKey(0),
+                    cam.background,
+                    max_depth=depth,
+                    sky_gradient=sky_gradient,
+                    differentiable=True,
+                    uniform_seq=useq_b,
+                    intersect_fn=make_tape_intersect_fn(tape_b),
+                    intersect_fn_differentiable=True,
+                )
+                return jnp.sum(radiance * ct_rows)
+
+            grads = jax.tree_util.tree_map(
+                jnp.add, grads, jax.grad(scalar_loss)(params)
             )
-            return jnp.sum(radiance * ct_rows)
-
-        g = jax.grad(scalar_loss)(params)
-        return jax.tree_util.tree_map(jnp.add, grads_in, g)
-
-    @jax.jit
-    def _zero_grads(params):
-        return jax.tree_util.tree_map(jnp.zeros_like, params)
+        return grads
 
     def step(params, key):
         loss, tape, ct_lane, lane_depth = forward(params, key)
-        grads = _zero_grads(params)
         remaining = np.arange(total, dtype=np.int64)
         rem_depth = lane_depth
+        bucket_args = []
         for depth in ladder:
             in_bucket = rem_depth <= depth
             idx = remaining[in_bucket]
             remaining = remaining[~in_bucket]
             rem_depth = rem_depth[~in_bucket]
             if idx.size == 0:
+                bucket_args.append(None)
                 continue
             # Pad to a quantized static size: padded lanes replay lane 0
             # with a ZERO cotangent, so they cannot contribute gradient.
             idx_j, amask = _padded_idx(idx)
-            grads = bucket_grad(
-                params, key, idx_j, amask.astype(jnp.float32), ct_lane,
-                tape, grads, depth=depth,
-            )
+            bucket_args.append((idx_j, amask.astype(jnp.float32)))
         assert remaining.size == 0, "depth ladder must end at max_depth"
+        grads = all_buckets_grad(
+            params, key, ct_lane, tape, tuple(bucket_args)
+        )
         return loss, grads
 
     return step
