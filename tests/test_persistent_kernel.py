@@ -475,6 +475,18 @@ def test_persistent_quad_cluster_with_image_uv_carry():
     assert int(segs_d) == int(segs_c)
     np.testing.assert_array_equal(fb_dense, fb_cl)
 
+    # And with a SUPER level over the quad clusters (two-level cond nesting
+    # + the UV carry threading through BOTH skip levels).
+    scene_cl2, cs2 = cluster_scene(
+        scene, max_leaf=4, super_fan=2, min_fine_for_super=2
+    )
+    assert cs2.quad_super.shape[0] > 1, "no quad super level built"
+    fb_cl2, segs_c2, _ = _render_persistent(
+        scene_cl2, cam, settings, 1, 1024, cluster_table=cs2
+    )
+    assert int(segs_d) == int(segs_c2)
+    np.testing.assert_array_equal(fb_dense, fb_cl2)
+
 
 def test_persistent_image_on_quad_and_multi_image_exact():
     """IMAGE textures on a QUAD plus a SECOND image on a sphere, both
