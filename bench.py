@@ -152,9 +152,10 @@ def _measure(scene, cam, settings, *, spp, wavefront, repeats):
     # megakernel/baseline: iters are whole-wavefront over the actual padded
     # lane count.
     from raytracer_tpu.integrator.wavefront import strided_schedule
+    from raytracer_tpu.ops.persistent_kernel import DEFAULT_ROWS, LANES
 
     n_lanes, num_slots, _ = strided_schedule(n, spp, wavefront)
-    tile_lanes = (kw.get("persistent_rows") or 64) * 128
+    tile_lanes = (kw.get("persistent_rows") or DEFAULT_ROWS) * LANES
     lanes_per_iter = tile_lanes if kw["use_persistent"] else n_lanes
     occupancy = total_segments / (total_iters * lanes_per_iter)
     out = {
@@ -224,7 +225,7 @@ def _measure_grad_step(
         walls.append(time.perf_counter() - t0)
     dt = statistics.median_low(walls)
     cam_rays = width * height * spp
-    return {
+    out = {
         "step_wall_s": round(dt, 3),
         "camera_mrays_per_s": round(cam_rays / dt / 1e6, 3),
         "fixed_depth_lane_bounces_mrays_per_s": round(
@@ -235,6 +236,35 @@ def _measure_grad_step(
         "max_depth": max_depth,
         "walls_s": [round(x, 3) for x in walls],
     }
+
+    # Production gradient backend (round 5): depth-bucketed replay driven
+    # by the IN-KERNEL winner tape (persistent kernel forward + counter
+    # RNG). Extra warmups: the first steps settle the bucket pad shapes.
+    from raytracer_tpu.diff.bucketed import make_bucketed_grad_fn
+
+    kfn = make_bucketed_grad_fn(
+        rebuild, cam, target, width=width, height=height,
+        samples_per_pass=spp, max_depth=max_depth,
+        forward="kernel" if jax.default_backend() == "tpu" else "xla",
+        scene_probe=scene,
+    )
+
+    def kstep(k):
+        v, g = kfn(params, k)
+        return float(v) + float(g["sph_center"].sum())
+
+    for w in range(3):
+        kstep(jax.random.fold_in(key, 90 + w))
+    kwalls = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        kstep(jax.random.fold_in(key, r))
+        kwalls.append(time.perf_counter() - t0)
+    kdt = statistics.median_low(kwalls)
+    out["bucketed_kernel_step_wall_s"] = round(kdt, 3)
+    out["bucketed_kernel_camera_mrays_per_s"] = round(cam_rays / kdt / 1e6, 3)
+    out["bucketed_kernel_walls_s"] = [round(x, 3) for x in kwalls]
+    return out
 
 
 def _measure_grad_depth50(repeats: int):
@@ -269,9 +299,19 @@ def _measure_grad_depth50(repeats: int):
         rebuild, cam, target, width=width, height=height,
         samples_per_pass=spp, max_depth=depth,
     )
+    # Round 5: the production backend — bucketed replay driven by the
+    # in-kernel winner tape (forward at persistent-kernel speed).
+    bucket_kernel_fn = make_bucketed_grad_fn(
+        rebuild, cam, target, width=width, height=height,
+        samples_per_pass=spp, max_depth=depth,
+        forward="kernel" if jax.default_backend() == "tpu" else "xla",
+        scene_probe=scene,
+    )
     key = jax.random.PRNGKey(7)
     for name, fn, kw_style in (
-        ("scan", scan_fn, "kw"), ("bucketed", bucket_fn, "pos"),
+        ("scan", scan_fn, "kw"),
+        ("bucketed", bucket_fn, "pos"),
+        ("bucketed_kernel", bucket_kernel_fn, "pos"),
     ):
         def run(k):
             v, g = fn(params, key=k) if kw_style == "kw" else fn(params, k)
@@ -279,6 +319,7 @@ def _measure_grad_depth50(repeats: int):
 
         run(key)
         run(jax.random.fold_in(key, 99))
+        run(jax.random.fold_in(key, 98))  # bucket pad shapes settle
         walls = []
         for r in range(repeats):
             t0 = time.perf_counter()
@@ -286,6 +327,53 @@ def _measure_grad_depth50(repeats: int):
             walls.append(time.perf_counter() - t0)
         out[f"{name}_step_wall_s"] = round(_st.median_low(walls), 3)
         out[f"{name}_walls_s"] = [round(x, 3) for x in walls]
+    return out
+
+
+def _measure_grad_full(repeats: int):
+    """Composed-gradient production point (round-5 VERDICT #8): one
+    optimization step at 400x225 @ 8spp depth 50 with the FULL gradient —
+    interior (bucketed, in-kernel tape forward) + silhouette boundary term
+    (diff/boundary.py) + first-bounce shadow edges (diff/shadow_edge.py) —
+    the configuration a user optimizing geometry should actually run."""
+    import statistics as _st
+
+    from raytracer_tpu.diff.grad import make_inverse_renderer
+    from raytracer_tpu.scenes.registry import get_scene
+    from raytracer_tpu.utils.metrics import device_memory_stats
+
+    width, height, spp, depth = 400, 225, 8, 50
+    scene, cam, _ = get_scene("rand_spheres", width=width, spp=spp)
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    params, opt_state, step = make_inverse_renderer(
+        scene, cam, target, trainable=("sph_center", "sph_radius", "tex_c0"),
+        width=width, height=height, samples_per_pass=spp, max_depth=depth,
+        boundary=True, shadow_edges=True, backend="bucketed",
+    )
+    key = jax.random.PRNGKey(7)
+
+    def run(k):
+        nonlocal params, opt_state
+        params, opt_state, loss = step(params, opt_state, k)
+        return float(loss)
+
+    for w in range(3):
+        run(jax.random.fold_in(key, 90 + w))
+    walls = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        run(jax.random.fold_in(key, r))
+        walls.append(time.perf_counter() - t0)
+    out = {
+        "size": [width, height],
+        "spp": spp,
+        "max_depth": depth,
+        "boundary": True,
+        "shadow_edges": True,
+        "step_wall_s": round(_st.median_low(walls), 3),
+        "walls_s": [round(x, 3) for x in walls],
+    }
+    out.update(device_memory_stats())
     return out
 
 
@@ -446,6 +534,12 @@ def main() -> None:
             detail["grad_depth50"] = _measure_grad_depth50(repeats=repeats)
         except Exception as e:
             detail["grad_depth50"] = {"error": str(e)[:200]}
+        # Composed-gradient production point: interior + boundary +
+        # shadow-edge terms at reference depth (round-5 VERDICT #8).
+        try:
+            detail["grad_full"] = _measure_grad_full(repeats=repeats)
+        except Exception as e:
+            detail["grad_full"] = {"error": str(e)[:200]}
 
     print(
         json.dumps(

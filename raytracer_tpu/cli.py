@@ -73,6 +73,14 @@ def main(argv=None) -> None:
         "with its bilinear weight, unbiased (ops/persistent_kernel.py)",
     )
     ap.add_argument(
+        "--bilinear-exact",
+        action="store_true",
+        help="with --bilinear: force the deterministic 4-tap filter (exact "
+        "parity with the XLA reference path) instead of the production "
+        "stochastic single tap (advisor r4: the parity mode must stay "
+        "reachable)",
+    )
+    ap.add_argument(
         "--no-bucket",
         action="store_true",
         help="disable scene-table size bucketing (bucketing lets scenes with "
@@ -140,11 +148,14 @@ def main(argv=None) -> None:
                 scene, cam, settings, mesh, seed=args.seed,
                 progress=True, metrics=metrics,
                 checkpoint_path=args.checkpoint,
+                bilinear_stochastic=False if args.bilinear_exact else None,
             )
             img = np.asarray(jax.device_get(to_u8(linear)))
         else:
             img = render_scene(
-                scene, cam, settings, seed=args.seed, progress=True, metrics=metrics
+                scene, cam, settings, seed=args.seed, progress=True,
+                metrics=metrics,
+                bilinear_stochastic=False if args.bilinear_exact else None,
             )
     dt = time.perf_counter() - t0
 

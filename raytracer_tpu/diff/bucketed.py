@@ -34,9 +34,17 @@ Per-(bounce, lane) uniforms come from a per-lane key stream
 regenerate exactly its lanes' randomness without materializing or
 slicing a global sequence inconsistently.
 
-Trainables: scene parameters (params -> rebuild(params) -> Scene).
-Camera gradients are not routed through this backend (use the scan
-backend for camera optimization).
+Trainables: scene parameters (params -> rebuild(params) -> Scene), and —
+round 5 — optionally the CAMERA: pass rebuild_camera and keep the camera
+leaves under params["camera"]; the replay rebuilds the camera frame inside
+the differentiable region so look_from/look_at/fov/defocus/background
+gradients flow through camera_rays exactly as in the scan backend.
+Visibility-boundary terms (diff/boundary.py silhouettes,
+diff/shadow_edge.py first-bounce shadow edges) compose via
+`edge_image_fns`: each is a zero-valued gradient image fn(params, cam,
+key) -> (H, W, 3) whose VJP against the forward's image cotangent adds the
+boundary contribution the interior replay cannot see (round-4 VERDICT #3:
+speed and silhouettes no longer trade off).
 
 Environment caveat (measured round 4, docs/PERF_NOTES.md): through the
 axon remote-TPU tunnel, host-orchestrated steps pay per-call dispatch and
@@ -76,17 +84,82 @@ def _lane_uniforms(key_u, lane_ids, max_depth: int):
     return jax.vmap(one)(lane_ids)
 
 
+# Reserved key for camera leaves when the camera is trainable.
+CAMERA_PARAM_KEY = "camera"
+
+
+def split_camera(cam: Camera, trainable=("look_from", "look_at")):
+    """(camera params dict, rebuild_camera) for camera optimization —
+    the camera analog of diff.grad.split_scene."""
+    cparams = {name: getattr(cam, name) for name in trainable}
+
+    def rebuild_camera(cp):
+        return cam._replace(**cp)
+
+    return cparams, rebuild_camera
+
+
+def _scene_and_camera(params, rebuild, rebuild_camera, cam_default):
+    """Resolve (Scene, Camera) from a params dict that may carry camera
+    leaves under CAMERA_PARAM_KEY."""
+    if rebuild_camera is None:
+        return rebuild(params), cam_default
+    sp = {k: v for k, v in params.items() if k != CAMERA_PARAM_KEY}
+    return rebuild(sp), rebuild_camera(params[CAMERA_PARAM_KEY])
+
+
 def default_depth_ladder(max_depth: int) -> tuple[int, ...]:
     """Static bucket depths: 1 (the sky-miss lanes — no scene hit at all,
     a large fraction of any sky-lit image) then powers of two up to
-    max_depth (always included)."""
+    max_depth (always included). A final power within 1.6x of max_depth is
+    dropped (e.g. 32 under depth 50): its lanes are rare enough that a
+    separate bucket pays more in pad floor than the shorter replay saves
+    (round-5 measurement: merging 32 into 50 cut ~1.0M of 4.4M padded
+    lane-bounces at the reference config)."""
     ladder = [1]
     d = 2
     while d < max_depth:
         ladder.append(d)
         d *= 2
+    if len(ladder) > 1 and max_depth < ladder[-1] * 1.6:
+        ladder.pop()
     ladder.append(max_depth)
     return tuple(ladder)
+
+
+def _pad_size_halfoct(sz: int, floor: int) -> int:
+    """Smallest {2^k, 1.5*2^k} grid point >= sz (>= floor): half-octave
+    spacing halves the average padding waste of the pure powers-of-two
+    ladder (51% worst case -> 22%) while keeping the set of compilable
+    shapes small and stable."""
+    p = floor
+    while p < sz:
+        if p * 3 // 2 >= sz:
+            return p * 3 // 2
+        p *= 2
+    return p
+
+
+class _PadMemo:
+    """Per-bucket padded-size memo with hysteresis: a bucket keeps its last
+    padded size while the population still fits and the size is not more
+    than ~2x oversized — population jitter (~sqrt(N)/step from the fresh
+    PRNG key) must not oscillate a bucket across a grid boundary, because
+    every distinct tuple of padded sizes is a fresh compile of the fused
+    all-buckets program (~minute-scale through the remote-compile
+    tunnel)."""
+
+    def __init__(self, floor: int):
+        self.floor = floor
+        self.last: dict[int, int] = {}
+
+    def __call__(self, depth: int, sz: int) -> int:
+        want = _pad_size_halfoct(sz, self.floor)
+        prev = self.last.get(depth)
+        if prev is not None and sz <= prev and want * 2 > prev:
+            return prev
+        self.last[depth] = want
+        return want
 
 
 def make_bucketed_grad_fn(
@@ -101,14 +174,49 @@ def make_bucketed_grad_fn(
     sky_gradient: bool = False,
     depths: tuple[int, ...] | None = None,
     quant: int = 1 << 14,
+    forward: str = "xla",
+    scene_probe=None,
+    tape_rows: int = 0,
+    edge_image_fns: tuple = (),
+    rebuild_camera=None,
 ):
     """Build `step(params, key) -> (loss, grads)` with depth-bucketed
-    backward. `rebuild(params) -> Scene` as from diff.grad.split_scene."""
+    backward. `rebuild(params) -> Scene` as from diff.grad.split_scene.
+
+    edge_image_fns: zero-valued gradient-image fns (diff/boundary,
+    diff/shadow_edge) composed by VJP against the forward image cotangent.
+    rebuild_camera: makes the camera trainable — params must then carry its
+    leaves under params["camera"] (see split_camera).
+
+    forward="kernel" (round 5, VERDICT #1): the fast forward + winner tape
+    run INSIDE the persistent Pallas kernel
+    (ops/persistent_kernel.render_persistent_tape) instead of the phased XLA
+    while_loop — ~an order of magnitude cheaper, since the kernel pays no
+    per-bounce XLA glue and its tiles drain independently. All randomness
+    (camera + per-bounce) then comes from the stateless counter RNG
+    (ops/ctr_rng.py), which the differentiable replay regenerates
+    bit-exactly per bucket. Requires `scene_probe` (a Scene with the same
+    static shape rebuild() produces) for the static kernel configuration;
+    the scene must pass scene_supports_persistent. forward="xla" keeps the
+    round-4 phase-compacted threefry forward (the CPU/unsupported-scene
+    path)."""
     n = width * height
     k = samples_per_pass
     total = k * n
     ladder = depths or default_depth_ladder(max_depth)
     assert ladder[-1] == max_depth, (ladder, max_depth)
+    assert forward in ("xla", "kernel"), forward
+
+    if forward == "kernel":
+        inner = _make_kernel_bucketed_grad_fn(
+            rebuild, cam, target, scene_probe,
+            width=width, height=height, samples_per_pass=samples_per_pass,
+            max_depth=max_depth, sky_gradient=sky_gradient, ladder=ladder,
+            quant=quant, tape_rows=tape_rows, rebuild_camera=rebuild_camera,
+        )
+        return _compose_edges(
+            inner, edge_image_fns, rebuild_camera, cam
+        )
 
     use_pallas_fwd = jax.default_backend() == "tpu"
 
@@ -136,8 +244,8 @@ def make_bucketed_grad_fn(
 
     @jax.jit
     def phase0(params, key):
-        scene = rebuild(params)
-        frame = camera_frame(cam, width, height)
+        scene, cam_p = _scene_and_camera(params, rebuild, rebuild_camera, cam)
+        frame = camera_frame(cam_p, width, height)
         key_cam, key_u = jax.random.split(key)
         pix = jax.lax.broadcasted_iota(jnp.int32, (total, 1), 0)[:, 0] % n
         cam_uni = jax.random.uniform(key_cam, (total, 4), jnp.float32)
@@ -150,7 +258,7 @@ def make_bucketed_grad_fn(
         sg = jax.lax.stop_gradient
         st = trace(
             sg(scene), sg(o), sg(d), jax.random.PRNGKey(0),
-            sg(cam.background), max_depth=d0, sky_gradient=sky_gradient,
+            sg(cam_p.background), max_depth=d0, sky_gradient=sky_gradient,
             uniform_seq=sg(useq), intersect_fn=_intersect_fwd(),
             return_tape=True, return_state=True,
         )
@@ -174,7 +282,7 @@ def make_bucketed_grad_fn(
         to d_hi. `src` indexes the PREVIOUS phase's state arrays (identity
         gather positions); all scatters back into radiance/tape happen here,
         in-graph."""
-        scene = rebuild(params)
+        scene, cam_p = _scene_and_camera(params, rebuild, rebuild_camera, cam)
         _, key_u = jax.random.split(key)
         useq = jnp.transpose(
             _lane_uniforms(key_u, sel, d_hi)[:, d_lo:d_hi, :], (1, 0, 2)
@@ -182,7 +290,7 @@ def make_bucketed_grad_fn(
         sg = jax.lax.stop_gradient
         st = trace(
             sg(scene), sg(prev_o[src]), sg(prev_d[src]),
-            jax.random.PRNGKey(0), sg(cam.background),
+            jax.random.PRNGKey(0), sg(cam_p.background),
             max_depth=d_hi - d_lo, sky_gradient=sky_gradient,
             uniform_seq=sg(useq), intersect_fn=_intersect_fwd(),
             return_tape=True, return_state=True,
@@ -221,21 +329,17 @@ def make_bucketed_grad_fn(
             axis=0,
         )
         lane_depth = jnp.minimum(last_hit + 2, max_depth)
-        return loss, ct_lane, lane_depth
+        return loss, ct_lane, lane_depth, ct_img
 
-    def _pad_size(sz: int) -> int:
-        """Geometric padding ladder (quant, 2*quant, 4*quant, ...): a
-        handful of distinct compiled shapes, stable across optimization
-        steps even as bucket populations drift (arithmetic padding caused
-        mid-measurement recompiles — ~minute-scale on the remote-compile
-        tunnel)."""
-        p = quant
-        while p < sz:
-            p *= 2
-        return p
+    # Half-octave padded sizes with per-bucket hysteresis (see _PadMemo) —
+    # round 5: the pure quant-powers ladder wasted ~45% of the replayed
+    # lane-bounces as padding at the reference config. Floor 2048: deep
+    # buckets hold only a few thousand lanes, and a 16K floor made the
+    # depth-50 bucket alone ~20% of all replayed lane-bounces.
+    pad_memo = _PadMemo(min(quant, 2048))
 
-    def _padded_idx(ids: np.ndarray):
-        padded = _pad_size(ids.size)
+    def _padded_idx(memo_key, ids: np.ndarray):
+        padded = pad_memo(memo_key, ids.size)
         pad = padded - ids.size
         sel = jnp.asarray(
             np.concatenate([ids, np.zeros(pad, np.int64)]), jnp.int32
@@ -253,8 +357,8 @@ def make_bucketed_grad_fn(
         for d_hi in fwd_phases[1:]:
             if orig.size == 0:
                 break
-            sel, amask = _padded_idx(orig)
-            src, _ = _padded_idx(pos)
+            sel, amask = _padded_idx(("phase", d_lo), orig)
+            src, _ = _padded_idx(("phase", d_lo), pos)
             radiance, tape, alive_d, o_d, d_d, t_d = phase_next(
                 params, key, sel, src, o_d, d_d, t_d, radiance, tape,
                 amask, d_lo=d_lo, d_hi=d_hi,
@@ -263,8 +367,8 @@ def make_bucketed_grad_fn(
             pos = np.flatnonzero(alive2)
             orig = orig[alive2]
             d_lo = d_hi
-        loss, ct_lane, lane_depth = loss_ct_depth(radiance, tape)
-        return loss, tape, ct_lane, np.asarray(lane_depth)
+        loss, ct_lane, lane_depth, ct_img = loss_ct_depth(radiance, tape)
+        return loss, tape, ct_lane, np.asarray(lane_depth), ct_img
 
     @jax.jit
     def all_buckets_grad(params, key, ct_lane, tape, bucket_args):
@@ -277,12 +381,16 @@ def make_bucketed_grad_fn(
         the small-config floor is the phased forward, not dispatch — but
         one program means one compile key and simpler accumulation.)"""
         key_cam, key_u = jax.random.split(key)
-        frame = camera_frame(cam, width, height)
         cam_uni_all = jax.random.uniform(key_cam, (total, 4), jnp.float32)
 
         grads = jax.tree_util.tree_map(jnp.zeros_like, params)
         for depth, ba in zip(ladder, bucket_args):
             if ba is None:
+                continue
+            if depth == 1 and _skip_depth1(sky_gradient, rebuild_camera):
+                # Pure sky-miss lanes: radiance == flat background with
+                # unit throughput, touching no scene parameter — provably
+                # zero gradient (see _skip_depth1).
                 continue
             idx, mask = ba
             pix = idx % n  # lane id -> pixel id (lane = s * n + pixel)
@@ -298,7 +406,10 @@ def make_bucketed_grad_fn(
 
             def scalar_loss(p, pix=pix, idx=idx, useq_b=useq_b,
                             tape_b=tape_b, ct_rows=ct_rows, depth=depth):
-                scene = rebuild(p)
+                scene, cam_p = _scene_and_camera(
+                    p, rebuild, rebuild_camera, cam
+                )
+                frame = camera_frame(cam_p, width, height)
                 o, d = camera_rays(
                     frame, pix % width, pix // width, cam_uni_all[idx]
                 )
@@ -307,13 +418,16 @@ def make_bucketed_grad_fn(
                     o,
                     d,
                     jax.random.PRNGKey(0),
-                    cam.background,
+                    cam_p.background,
                     max_depth=depth,
                     sky_gradient=sky_gradient,
                     differentiable=True,
                     uniform_seq=useq_b,
                     intersect_fn=make_tape_intersect_fn(tape_b),
                     intersect_fn_differentiable=True,
+                    # Keep the per-bounce remat even for shallow buckets:
+                    # storing residuals instead was measured 2-3x SLOWER on
+                    # v5e (HBM-bandwidth bound; the recompute is VPU-cheap).
                 )
                 return jnp.sum(radiance * ct_rows)
 
@@ -323,7 +437,7 @@ def make_bucketed_grad_fn(
         return grads
 
     def step(params, key):
-        loss, tape, ct_lane, lane_depth = forward(params, key)
+        loss, tape, ct_lane, lane_depth, ct_img = forward(params, key)
         remaining = np.arange(total, dtype=np.int64)
         rem_depth = lane_depth
         bucket_args = []
@@ -337,12 +451,266 @@ def make_bucketed_grad_fn(
                 continue
             # Pad to a quantized static size: padded lanes replay lane 0
             # with a ZERO cotangent, so they cannot contribute gradient.
-            idx_j, amask = _padded_idx(idx)
+            idx_j, amask = _padded_idx(depth, idx)
             bucket_args.append((idx_j, amask.astype(jnp.float32)))
         assert remaining.size == 0, "depth ladder must end at max_depth"
         grads = all_buckets_grad(
             params, key, ct_lane, tape, tuple(bucket_args)
         )
+        return loss, grads, ct_img
+
+    return _compose_edges(step, edge_image_fns, rebuild_camera, cam)
+
+
+def _skip_depth1(sky_gradient: bool, rebuild_camera) -> bool:
+    """The depth-1 bucket holds lanes whose FIRST intersection already
+    missed (tape row 0 == -1): their radiance is 1 * flat_background,
+    touching no scene parameter, so the bucket's replay is a provably-zero
+    gradient — UNLESS the background depends on the ray direction
+    (sky_gradient) or the camera/background itself is trainable."""
+    return not sky_gradient and rebuild_camera is None
+
+
+def _compose_edges(step_inner, edge_image_fns, rebuild_camera, cam):
+    """Wrap an interior bucketed step with additive visibility-boundary
+    gradients: for each zero-valued edge image fn(params, cam, key) ->
+    (H, W, 3) (diff/boundary.py, diff/shadow_edge.py), add the VJP of
+    sum(fn * ct_img) — exactly the first-order boundary contribution of
+    the MSE loss. (The scan backend adds the same images to the render
+    BEFORE the loss; the two compositions agree to first order because
+    the images are identically zero in the forward pass.)"""
+    if not edge_image_fns:
+        def step(params, key):
+            loss, grads, _ = step_inner(params, key)
+            return loss, grads
+
+        return step
+
+    @jax.jit
+    def edge_grads(params, key, ct_img):
+        def eloss(p):
+            if rebuild_camera is None:
+                sp, cam_p = p, cam
+            else:
+                sp = {k: v for k, v in p.items() if k != CAMERA_PARAM_KEY}
+                cam_p = rebuild_camera(p[CAMERA_PARAM_KEY])
+            tot = jnp.float32(0.0)
+            for i, fn in enumerate(edge_image_fns):
+                img = fn(sp, cam_p, jax.random.fold_in(key, i))
+                tot = tot + jnp.sum(img * ct_img)
+            return tot
+
+        return jax.grad(eloss)(params)
+
+    def step(params, key):
+        loss, grads, ct_img = step_inner(params, key)
+        eg = edge_grads(params, jax.random.fold_in(key, 6070), ct_img)
+        grads = jax.tree_util.tree_map(jnp.add, grads, eg)
         return loss, grads
+
+    return step
+
+
+def _make_kernel_bucketed_grad_fn(
+    rebuild,
+    cam: Camera,
+    target,
+    scene_probe,
+    *,
+    width: int,
+    height: int,
+    samples_per_pass: int,
+    max_depth: int,
+    sky_gradient: bool,
+    ladder: tuple[int, ...],
+    quant: int,
+    tape_rows: int,
+    rebuild_camera=None,
+):
+    """Kernel-forward variant of the bucketed backend (round-5 VERDICT #1):
+
+    1. ONE persistent-kernel launch traces every (pixel, sample) lane to
+       completion at production-kernel speed, recording the (max_depth, N)
+       winner tape in-kernel (render_persistent_tape). RNG is the stateless
+       counter hash keyed by (seed, sample id, draw index).
+    2. Loss / per-lane cotangent / exact path lengths fall out of the lane
+       radiance + tape exactly as in the XLA-forward variant.
+    3. Per-bucket differentiable replays regenerate their lanes' uniforms
+       from the same counters (ops/ctr_rng.py) — bit-identical to what the
+       kernel consumed (pinned by tests/test_ktape.py) — so the tape pins
+       every discrete decision and the replay radiance reproduces the
+       forward estimator.
+
+    The whole forward is one kernel program: there is no phase compaction,
+    no tape assembly, and no while_loop whose trip count is the global max
+    path length (each kernel tile drains at ITS max — the straggler cost
+    the XLA forward could only approximate with host-phased gathers).
+    """
+    from raytracer_tpu.geometry.intersect import quad_derived
+    from raytracer_tpu.ops import ctr_rng
+    from raytracer_tpu.ops.persistent_kernel import (
+        DEFAULT_ROWS,
+        LANES,
+        pack_camera_scalars_bg,
+        pack_image_table,
+        pack_persistent_tables,
+        render_persistent_tape,
+        scene_supports_persistent,
+    )
+
+    assert scene_probe is not None, (
+        "forward='kernel' needs scene_probe for static kernel config"
+    )
+    assert scene_supports_persistent(scene_probe), (
+        "scene not supported by the persistent kernel; use forward='xla'"
+    )
+    n = width * height
+    k = samples_per_pass
+    total = k * n
+    rows = tape_rows or DEFAULT_ROWS
+    tile = rows * LANES
+    n_phys = -(-total // tile) * tile
+
+    # Static schedule: physical lane p IS sample id p (pixel = p % n), so
+    # the kernel outputs need no permutation — tape column / radiance row p
+    # is bucketed lane p, and consecutive lanes are consecutive pixels
+    # (the coherent strips the kernel's dynamic gather bands want).
+    sid_h = np.arange(n_phys, dtype=np.int32)
+    pix_h = sid_h % n
+    rem0 = jnp.asarray((sid_h < total).astype(np.int32))
+    px0 = jnp.asarray((pix_h % width).astype(np.int32))
+    py0 = jnp.asarray((pix_h // width).astype(np.int32))
+    sid0 = jnp.asarray(sid_h)
+
+    has_image = bool(scene_probe.has_image)
+    static_kw = dict(
+        width=width,
+        height=height,
+        rows=rows,
+        max_depth=max_depth,
+        sky_gradient=sky_gradient,
+        has_noise=bool(scene_probe.has_noise),
+        has_image=has_image,
+        img_h=int(scene_probe.images.shape[1]),
+        img_w=int(scene_probe.images.shape[2]),
+        bilinear=bool(scene_probe.bilinear_textures),
+    )
+
+    def _seed_of(key):
+        return jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+
+    @jax.jit
+    def kforward(params, key):
+        scene, cam_p = _scene_and_camera(params, rebuild, rebuild_camera, cam)
+        frame = camera_frame(cam_p, width, height)
+        qd = quad_derived(scene)
+        sph_p, quad_p, res_p = pack_persistent_tables(scene, qd)
+        img_p = pack_image_table(scene) if has_image else None
+        rad3, tape, _segs, _iters = render_persistent_tape(
+            sph_p, quad_p, res_p,
+            pack_camera_scalars_bg(frame, cam_p.background),
+            _seed_of(key), rem0, px0, py0, sid0, img_p, **static_kw,
+        )
+        radiance = rad3[:, :total].T  # (total, 3) per-lane
+        tape = tape[:, :total]
+        img = radiance.reshape(k, n, 3).mean(0).reshape(height, width, 3)
+        loss = jnp.mean((img - target) ** 2)
+        ct_img = 2.0 * (img - target) / jnp.float32(img.size)
+        pix = jax.lax.broadcasted_iota(jnp.int32, (total, 1), 0)[:, 0] % n
+        ct_lane = ct_img.reshape(n, 3)[pix] / jnp.float32(k)
+        hitb = tape >= 0
+        last_hit = jnp.max(
+            jnp.where(
+                hitb, jnp.arange(max_depth, dtype=jnp.int32)[:, None], -1
+            ),
+            axis=0,
+        )
+        lane_depth = jnp.minimum(last_hit + 2, max_depth)
+        return loss, tape, ct_lane, lane_depth, ct_img
+
+    pad_memo = _PadMemo(min(quant, 2048))
+
+    def _padded_idx(depth, ids: np.ndarray):
+        padded = pad_memo(depth, ids.size)
+        pad = padded - ids.size
+        sel = jnp.asarray(
+            np.concatenate([ids, np.zeros(pad, np.int64)]), jnp.int32
+        )
+        amask = jnp.asarray(
+            np.concatenate([np.ones(ids.size, bool), np.zeros(pad, bool)])
+        )
+        return sel, amask
+
+    @jax.jit
+    def all_buckets_grad(params, key, ct_lane, tape, bucket_args):
+        """Sum of per-bucket VJPs against the forward cotangent (see the
+        XLA variant) — uniforms regenerated from the counter RNG instead of
+        threefry streams, matching the kernel forward draw-for-draw."""
+        seed = _seed_of(key)
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        for depth, ba in zip(ladder, bucket_args):
+            if ba is None:
+                continue
+            if depth == 1 and _skip_depth1(sky_gradient, rebuild_camera):
+                continue  # provably-zero gradient (see _skip_depth1)
+            idx, mask = ba
+            pix = idx % n
+            tape_b = tape[:depth][:, idx]
+            # Counter streams are trivially prefix-stable: each (bounce, j)
+            # draw has its own counter.
+            useq_b = ctr_rng.bounce_uniform_seq(seed, idx, depth)
+            cam_uni = ctr_rng.camera_uniforms(seed, idx)
+            ct_rows = ct_lane[idx] * mask[:, None]
+
+            def scalar_loss(p, pix=pix, cam_uni=cam_uni, useq_b=useq_b,
+                            tape_b=tape_b, ct_rows=ct_rows, depth=depth):
+                scene, cam_p = _scene_and_camera(
+                    p, rebuild, rebuild_camera, cam
+                )
+                frame = camera_frame(cam_p, width, height)
+                o, d = camera_rays(frame, pix % width, pix // width, cam_uni)
+                radiance = trace(
+                    scene,
+                    o,
+                    d,
+                    jax.random.PRNGKey(0),
+                    cam_p.background,
+                    max_depth=depth,
+                    sky_gradient=sky_gradient,
+                    differentiable=True,
+                    uniform_seq=useq_b,
+                    intersect_fn=make_tape_intersect_fn(tape_b),
+                    intersect_fn_differentiable=True,
+                    # Remat stays ON for every bucket (no-remat measured
+                    # 2-3x slower on v5e; see the XLA variant note).
+                )
+                return jnp.sum(radiance * ct_rows)
+
+            grads = jax.tree_util.tree_map(
+                jnp.add, grads, jax.grad(scalar_loss)(params)
+            )
+        return grads
+
+    def step(params, key):
+        loss, tape, ct_lane, lane_depth_d, ct_img = kforward(params, key)
+        lane_depth = np.asarray(lane_depth_d)
+        remaining = np.arange(total, dtype=np.int64)
+        rem_depth = lane_depth
+        bucket_args = []
+        for depth in ladder:
+            in_bucket = rem_depth <= depth
+            idx = remaining[in_bucket]
+            remaining = remaining[~in_bucket]
+            rem_depth = rem_depth[~in_bucket]
+            if idx.size == 0:
+                bucket_args.append(None)
+                continue
+            idx_j, amask = _padded_idx(depth, idx)
+            bucket_args.append((idx_j, amask.astype(jnp.float32)))
+        assert remaining.size == 0, "depth ladder must end at max_depth"
+        grads = all_buckets_grad(
+            params, key, ct_lane, tape, tuple(bucket_args)
+        )
+        return loss, grads, ct_img
 
     return step

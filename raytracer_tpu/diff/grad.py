@@ -164,34 +164,76 @@ def make_inverse_renderer(
     learning_rate: float = 1e-2,
     optimizer=None,
     boundary: bool = False,
+    shadow_edges: bool = False,
+    trainable_camera: tuple = (),
     backend: str = "scan",
 ):
     """Build (init_params, opt_state, step_fn) for gradient-descent scene
     recovery (BASELINE.json config 5). `step_fn(params, opt_state, key)`
     returns (params, opt_state, loss). `boundary=True` adds edge-sampled
     silhouette gradients (diff/boundary.py) — needed when the trainables move
-    geometry whose silhouettes are in view.
+    geometry whose silhouettes are in view; `shadow_edges=True` additionally
+    adds the first-bounce shadow-edge term (diff/shadow_edge.py).
 
     backend="bucketed" swaps the checkpointed-scan loss gradient for the
-    depth-bucketed tape-replay backend (diff/bucketed.py — 2x at the
-    reference depth 50, 4.7x at 10K primitives; exact to fp tolerance).
-    Scene trainables only, and it does not compose with `boundary` (its
-    cotangent plumbing bypasses the additive boundary-image hook)."""
+    depth-bucketed tape-replay backend (diff/bucketed.py; on TPU its
+    forward runs INSIDE the persistent kernel — round 5). Since round 5 it
+    composes with boundary/shadow_edges (edge VJPs against the forward
+    cotangent) and with `trainable_camera` (camera leaf names, e.g.
+    ("look_from", "fov_radians") — leaves live under params["camera"] and
+    gradients flow through the replay's camera_rays), so speed and
+    silhouettes/camera no longer trade off (round-4 VERDICT #3).
+    `trainable_camera` requires the bucketed backend."""
     params, rebuild = split_scene(scene, trainable)
     opt = optimizer or optax.adam(learning_rate)
-    opt_state = opt.init(params)
-    if backend == "bucketed":
-        if boundary:
-            raise ValueError(
-                "backend='bucketed' does not compose with boundary=True; "
-                "use the scan backend for silhouette-gradient optimization"
-            )
-        from raytracer_tpu.diff.bucketed import make_bucketed_grad_fn
 
+    def _edge_fns():
+        fns = []
+        if boundary:
+            from raytracer_tpu.diff.boundary import make_boundary_image_fn
+
+            fns.append(make_boundary_image_fn(
+                rebuild, width=width, height=height, max_depth=max_depth,
+                sky_gradient=sky_gradient,
+            ))
+        if shadow_edges:
+            from raytracer_tpu.diff.shadow_edge import make_shadow_boundary_fn
+
+            fns.append(make_shadow_boundary_fn(
+                rebuild, width=width, height=height, max_depth=max_depth,
+                sky_gradient=sky_gradient,
+            ))
+        return tuple(fns)
+
+    if backend == "bucketed":
+        from raytracer_tpu.diff.bucketed import (
+            CAMERA_PARAM_KEY,
+            make_bucketed_grad_fn,
+            split_camera,
+        )
+        from raytracer_tpu.ops.persistent_kernel import scene_supports_persistent
+
+        rebuild_camera = None
+        if trainable_camera:
+            cam_params, rebuild_camera = split_camera(cam, trainable_camera)
+            params = dict(params)
+            params[CAMERA_PARAM_KEY] = cam_params
+        opt_state = opt.init(params)
+
+        # Kernel tape forward (round 5): the production persistent kernel
+        # records the winner tape in-kernel at full speed; XLA phased
+        # forward remains the CPU / unsupported-scene fallback.
+        use_kernel_fwd = (
+            jax.default_backend() == "tpu" and scene_supports_persistent(scene)
+        )
         grad_fn = make_bucketed_grad_fn(
             rebuild, cam, target, width=width, height=height,
             samples_per_pass=samples_per_pass, max_depth=max_depth,
             sky_gradient=sky_gradient,
+            forward="kernel" if use_kernel_fwd else "xla",
+            scene_probe=scene,
+            edge_image_fns=_edge_fns(),
+            rebuild_camera=rebuild_camera,
         )
 
         def step_bucketed(params, opt_state, key):
@@ -202,17 +244,19 @@ def make_inverse_renderer(
 
         return params, opt_state, step_bucketed
     assert backend == "scan", backend
+    assert not trainable_camera, (
+        "trainable_camera requires backend='bucketed'"
+    )
+    opt_state = opt.init(params)
+    edge_fns = _edge_fns()
     boundary_fn = None
-    if boundary:
-        from raytracer_tpu.diff.boundary import make_boundary_image_fn
-
-        boundary_fn = make_boundary_image_fn(
-            rebuild,
-            width=width,
-            height=height,
-            max_depth=max_depth,
-            sky_gradient=sky_gradient,
-        )
+    if edge_fns:
+        def boundary_fn(p, c, k):
+            parts = [
+                fn(p, c, kk)
+                for fn, kk in zip(edge_fns, jax.random.split(k, len(edge_fns)))
+            ]
+            return sum(parts[1:], parts[0])
     loss_kw = dict(
         width=width,
         height=height,

@@ -165,6 +165,7 @@ def trace(
     init_radiance=None,
     init_alive=None,
     return_state: bool = False,
+    checkpoint_bounces: bool = True,
 ):
     """Trace a batch of rays to completion; returns radiance (N, 3)
     (or (radiance, traced_segment_count) with return_stats=True; with
@@ -228,9 +229,16 @@ def trace(
 
     if differentiable:
         # Fixed-depth scan; checkpoint each bounce so the backward pass
-        # rematerializes intersections instead of storing every (N,S) buffer.
+        # rematerializes intersections instead of storing every (N,S)
+        # buffer. checkpoint_bounces=False skips the remat (stores all
+        # bounce residuals): right for SHORT loops over O(1)-per-lane
+        # intersectors — the depth-bucketed replay's shallow buckets, where
+        # residual memory is small and the recompute pass is ~25% of the
+        # step (round-5 measurement).
+        step_d = jax.checkpoint(step) if checkpoint_bounces else step
+
         def scan_body(state, _):
-            return jax.checkpoint(step)(state), None
+            return step_d(state), None
 
         final, _ = jax.lax.scan(scan_body, init, None, length=max_depth)
     elif fixed_trip_count:

@@ -211,6 +211,23 @@ def _marble_i32(x, y, z, depth: int = 7):
     return 0.5 * (1.0 + jnp.sin(z + 10.0 * jnp.abs(total)))
 
 
+def _persistent_kernel_tape(
+    sph_ref, quad_ref, cl_ref, cam_ref, seed_ref,
+    res_ref, img_ref, rem0_ref, px0_ref, py0_ref, sid0_ref,
+    log_ref, tape_ref, stats_ref,
+    *scratch, **kw,
+):
+    """Tape-mode ref layout adapter: one extra input (per-lane sample ids)
+    and one extra output (the (1, max_depth, rows, 128) winner tape block)
+    relative to the production kernel — see `render_persistent_tape`."""
+    _persistent_kernel(
+        sph_ref, quad_ref, cl_ref, cam_ref, seed_ref,
+        res_ref, img_ref, rem0_ref, px0_ref, py0_ref,
+        log_ref, stats_ref, *scratch,
+        sid0_ref=sid0_ref, tape_ref=tape_ref, **kw,
+    )
+
+
 def _persistent_kernel(
     # scalar prefetch
     sph_ref, quad_ref, cl_ref, cam_ref, seed_ref,
@@ -254,6 +271,8 @@ def _persistent_kernel(
     bilinear: bool = False,
     bilinear_stochastic: bool = False,
     ablate: str = "",
+    sid0_ref=None,
+    tape_ref=None,
 ):
     pid = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + pid * 7919)
@@ -261,6 +280,34 @@ def _persistent_kernel(
     shape = (rows, LANES)
     zero = jnp.zeros(shape, jnp.float32)
     izero = jnp.zeros(shape, jnp.int32)
+
+    # ---- tape mode (gradient forward; see render_persistent_tape) ----
+    # Every RNG draw becomes a pure counter-hash of (seed, sample id, draw
+    # index) — ops/ctr_rng.py, reproducible bit-exactly from XLA for the
+    # differentiable replay — and the per-bounce winner id is logged to the
+    # tape block. Synchronous schedule (every lane regenerates exactly once,
+    # at iteration 0), so iteration index == bounce index for all lanes.
+    tape_mode = tape_ref is not None
+    if tape_mode:
+        from raytracer_tpu.ops import ctr_rng as _ctr
+
+        assert rr_start >= max_depth, "tape mode has no russian roulette"
+        assert not bilinear_stochastic, "tape mode needs deterministic taps"
+        assert num_slots == 1, "tape mode is one sample per lane"
+        sid = sid0_ref[:]
+        seed0 = seed_ref[0]
+
+        def _cam_draw(j):  # camera uniforms, ctr 0..3
+            return _ctr.uniform(seed0, sid, j)
+
+        def _bounce_draw(j, it):  # shading uniforms, ctr 4 + 3*bounce + j
+            return _ctr.uniform(seed0, sid, 4 + it * 3 + j)
+    else:
+        def _cam_draw(j):
+            return _uniform(shape)
+
+        def _bounce_draw(j, it):
+            return _uniform(shape)
 
     # ---- init ----
     ox_s[:] = zero
@@ -282,6 +329,10 @@ def _persistent_kernel(
     sk_s[:] = izero - 1
     dep_s[:] = izero
     log_ref[0, :, :] = jnp.zeros((3 * num_slots * rows, LANES), jnp.float32)
+    if tape_mode:
+        tape_ref[0, :, :, :] = jnp.full(
+            (max_depth, rows, LANES), -1, jnp.int32
+        )
 
     def resolve_all(prim_chunk, prim_off, cmin, cmax):
         """All N_RES winner-row values in ONE chunk scan: per chunk step, one
@@ -343,10 +394,10 @@ def _persistent_kernel(
         py = jnp.where(grant, jnp.where(first, py_s[:], py_adv), py_s[:])
 
         # Camera sampling (camera.go:265-299): pixel jitter + defocus disk.
-        jx = _uniform(shape) - 0.5
-        jy = _uniform(shape) - 0.5
-        r_disk = jnp.sqrt(_uniform(shape))
-        phi = TWO_PI * _uniform(shape)
+        jx = _cam_draw(0) - 0.5
+        jy = _cam_draw(1) - 0.5
+        r_disk = jnp.sqrt(_cam_draw(2))
+        phi = TWO_PI * _cam_draw(3)
         disk_x = r_disk * jnp.cos(phi)
         disk_y = r_disk * jnp.sin(phi)
 
@@ -555,6 +606,16 @@ def _persistent_kernel(
         hit = t_s < INF
         t = jnp.where(hit, t_s * inv_a, 0.0)  # back from scaled-t space
         primc = jnp.where(hit, prim, 0)
+
+        if tape_mode:
+            # Winner tape: bounce index == iteration index (synchronous
+            # schedule), row -1 for miss/dead — the encoding
+            # integrator.wavefront.trace(return_tape=True) uses.
+            rec = jnp.where(jnp.logical_and(active, hit), prim, -1)
+
+            @pl.when(it < max_depth)
+            def _write_tape():
+                tape_ref[0, pl.ds(it, 1), :, :] = rec[None]
 
         # ---- winner-row resolve: N_RES lane-gathers over the dynamic
         # winner-chunk band, no scalar reads ----
@@ -816,8 +877,8 @@ def _persistent_kernel(
 
         # ---- scatter ----
         # Unit sphere sample (Archimedes map, core.sampling).
-        u0 = _uniform(shape)
-        u1 = _uniform(shape)
+        u0 = _bounce_draw(0, it)
+        u1 = _bounce_draw(1, it)
         sz = 1.0 - 2.0 * u0
         sphi = TWO_PI * u1
         sr = jnp.sqrt(jnp.maximum(0.0, 1.0 - sz * sz))
@@ -863,7 +924,7 @@ def _persistent_kernel(
         om = 1.0 - cos_t
         om2 = om * om
         reflect_p = r0 + (1.0 - r0) * om2 * om2 * om
-        coin = _uniform(shape)
+        coin = _bounce_draw(2, it)
         use_reflect = jnp.logical_or(cannot, reflect_p > coin)
         perpx = eta * (udx + cos_t * nx_)
         perpy = eta * (udy + cos_t * ny_)
@@ -1323,3 +1384,152 @@ def render_persistent_pallas(
         jnp.sum(stats[:, 0, 1]),
         jnp.sum(stats[:, 0, 2]),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "rows", "max_depth", "sky_gradient", "has_noise",
+        "has_image", "img_h", "img_w", "bilinear",
+    ),
+)
+def render_persistent_tape(
+    sph_table,
+    quad_table,
+    res_table,
+    cam_scalars,
+    seed,
+    rem0,
+    px0,
+    py0,
+    sid0,
+    img_table=None,
+    *,
+    width: int,
+    height: int,
+    rows: int = DEFAULT_ROWS,
+    max_depth: int = 50,
+    sky_gradient: bool = False,
+    has_noise: bool = False,
+    has_image: bool = False,
+    img_h: int = 1,
+    img_w: int = 1,
+    bilinear: bool = False,
+):
+    """Gradient-forward launch: trace ONE sample per lane and record the
+    per-bounce winner tape inside the kernel (round-5 VERDICT #1 — the
+    bucketed gradient backend's forward at persistent-kernel speed instead
+    of the XLA while_loop's).
+
+    Differences from `render_persistent_pallas`:
+
+    * every RNG draw is the stateless counter hash of (seed, sample id,
+      draw index) — ops/ctr_rng.py — so the XLA replay (diff/bucketed.py)
+      regenerates identical uniforms for any lane subset;
+    * synchronous schedule: `rem0` is 0/1 (one sample per lane, granted at
+      iteration 0; `sid0` carries each lane's global sample id), so
+      iteration index == bounce index and the tape block is written with
+      one dynamic-indexed store per iteration. A tile still drains
+      independently at its own max path length — per-tile sync is what
+      makes this ~an order of magnitude cheaper than the whole-batch XLA
+      while_loop whose trip count is the GLOBAL max (docs/PERF_NOTES.md
+      round 4, bucketed v1);
+    * no russian roulette and deterministic texture taps, matching
+      integrator.wavefront.trace's estimator exactly (the replay target);
+    * returns per-LANE radiance, not a folded framebuffer.
+
+    Returns (radiance (3, N) f32, tape (max_depth, N) i32, segments () i32,
+    iters () i32). Dense primitive loops only (no cluster table): the tape
+    records scene-order primitive ids, which is what the replay resolves.
+    """
+    n = rem0.shape[0]
+    tile = rows * LANES
+    assert n % tile == 0, (n, tile)
+    grid = n // tile
+    rows_n = n // LANES
+    n_chunks = res_table.shape[0] // N_RES
+    if img_table is None:
+        img_table = jnp.zeros((1, LANES), jnp.float32)
+    n_img_chunks = img_table.shape[0]
+
+    ispec = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    res_spec = pl.BlockSpec(
+        (N_RES * n_chunks, LANES), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+    )
+    img_spec = pl.BlockSpec(
+        (n_img_chunks, LANES), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+    )
+    log_spec = pl.BlockSpec(
+        (1, 3 * rows, LANES), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    tape_spec = pl.BlockSpec(
+        (1, max_depth, rows, LANES),
+        lambda i, *_: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    stats_spec = pl.BlockSpec(
+        (1, 8, LANES), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = partial(
+        _persistent_kernel_tape,
+        width=width,
+        height=height,
+        jump_px=0,
+        jump_py=0,
+        num_slots=1,
+        rows=rows,
+        n_chunks=n_chunks,
+        ns=int(sph_table.shape[0]),
+        nq=int(quad_table.shape[0]),
+        unroll=0,
+        max_depth=max_depth,
+        rr_start=max_depth,  # trace() has no RR; the replay must match
+        rr_lo=0.05,
+        rr_hi=0.95,
+        sky_gradient=sky_gradient,
+        has_noise=has_noise,
+        has_image=has_image,
+        img_h=img_h,
+        img_w=img_w,
+        n_img_chunks=n_img_chunks,
+        max_iters=max_depth + 2,
+        bilinear=bilinear,
+        bilinear_stochastic=False,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(grid,),
+        in_specs=[res_spec, img_spec] + [ispec] * 4,
+        out_specs=[log_spec, tape_spec, stats_spec],
+        scratch_shapes=(
+            [pltpu.VMEM((rows, LANES), jnp.float32)] * 12
+            + [pltpu.VMEM((rows, LANES), jnp.int32)] * 6
+        ),
+    )
+
+    def planar(x):
+        return x.reshape(rows_n, LANES)
+
+    log, tape, stats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, 3 * rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, max_depth, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, 8, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        sph_table.reshape(-1), quad_table.reshape(-1),
+        jnp.zeros((8,), jnp.float32), cam_scalars,
+        jnp.asarray([seed], jnp.int32),
+        res_table, img_table,
+        planar(rem0), planar(px0), planar(py0), planar(sid0),
+    )
+    radiance = jnp.transpose(log.reshape(grid, 3, rows, LANES), (1, 0, 2, 3))
+    radiance = radiance.reshape(3, n)
+    tape = jnp.transpose(tape, (1, 0, 2, 3)).reshape(max_depth, n)
+    return radiance, tape, jnp.sum(stats[:, 0, 0]), jnp.sum(stats[:, 0, 1])

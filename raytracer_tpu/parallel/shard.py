@@ -439,8 +439,14 @@ def render_image_sharded(
     metrics=None,
     checkpoint_path: str | None = None,
     max_chunks: int | None = None,
+    bilinear_stochastic: bool | None = None,
 ) -> jnp.ndarray:
     """Full sharded render; returns linear mean radiance (H, W, 3).
+
+    bilinear_stochastic: None (default) uses the production single-tap
+    stochastic filter whenever the persistent kernel serves the render;
+    False forces the deterministic 4-tap reference filter (advisor r4 —
+    the parity mode must stay reachable from the top-level API).
 
     regenerative=True (default) runs the production fast path on every
     device (`render_regen_sharded`); False keeps the simple per-pass batch
@@ -595,8 +601,13 @@ def render_image_sharded(
                     rr_max_q=0.75 if use_persistent else 0.95,
                     cluster_table=cluster_table,
                     # Same production stochastic-bilinear default as
-                    # render_image (ops/persistent_kernel round-4 note).
-                    bilinear_stochastic=use_persistent,
+                    # render_image (ops/persistent_kernel round-4 note);
+                    # callers may force the deterministic 4-tap filter.
+                    bilinear_stochastic=(
+                        use_persistent
+                        if bilinear_stochastic is None
+                        else (bilinear_stochastic and use_persistent)
+                    ),
                     return_stats=metrics is not None,
                 )
                 if metrics is not None:

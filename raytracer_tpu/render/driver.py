@@ -447,8 +447,16 @@ def render_image(
     progress: bool = False,
     regenerative: bool = True,
     metrics=None,
+    bilinear_stochastic: bool | None = None,
 ) -> jnp.ndarray:
     """Render the full image; returns linear mean radiance (H, W, 3) f32.
+
+    bilinear_stochastic: None (default) picks the production filter — the
+    unbiased single-tap stochastic bilinear whenever the persistent kernel
+    serves the render; False forces the deterministic 4-tap reference
+    filter (advisor r4: the parity mode must stay reachable from the
+    top-level API); True requests stochastic explicitly (still requires
+    the persistent path — other paths ignore it).
 
     Equivalent of Camera.Render + GetPixelColor's spp averaging
     (camera.go:180-263), minus the output encoding (see postprocess/imgio).
@@ -596,8 +604,13 @@ def render_image(
                 # Production texture filtering on the persistent path is
                 # STOCHASTIC bilinear (single weighted tap, unbiased — see
                 # ops/persistent_kernel.py round-4 note); the deterministic
-                # 4-tap stays the parity/test reference.
-                bilinear_stochastic=use_persistent,
+                # 4-tap stays the parity/test reference and is selectable
+                # via bilinear_stochastic=False.
+                bilinear_stochastic=(
+                    use_persistent
+                    if bilinear_stochastic is None
+                    else (bilinear_stochastic and use_persistent)
+                ),
                 return_stats=metrics is not None,
             )
             if metrics is not None:

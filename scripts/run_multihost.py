@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--local-devices", type=int, default=None,
                     help="virtual CPU devices per process (local testing)")
+    ap.add_argument("--sample-parallel", type=int, default=None,
+                    help="devices cooperating on the same pixels (mesh "
+                    "samples axis; default = local device count). Pinning "
+                    "it makes the GLOBAL mesh shape — and therefore the "
+                    "per-device keys and the image, bit-for-bit — "
+                    "independent of how devices split across processes")
     args = ap.parse_args()
 
     if args.coordinator is not None:
@@ -69,7 +75,7 @@ def main() -> None:
         overrides["width"] = args.width
     scene, cam, settings = get_scene(args.scene, args.seed, **overrides)
 
-    mesh = multihost_mesh()
+    mesh = multihost_mesh(sample_parallel=args.sample_parallel)
     if jax.process_index() == 0:
         print(f"mesh: {dict(mesh.shape)} over {jax.device_count()} devices "
               f"/ {jax.process_count()} hosts", flush=True)

@@ -21,7 +21,21 @@ os.environ.setdefault("PJRT_NPROC", "16")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Key the persistent cache by this host's CPU flags: the machine pool is
+# heterogeneous, and XLA:CPU AOT executables compiled on a host with e.g.
+# +prefer-no-scatter SEGFAULT when deserialized on one without (observed
+# round 5: hard crash inside compilation_cache.get_executable_and_time).
+import hashlib
+
+try:
+    _flags = [
+        ln for ln in open("/proc/cpuinfo").read().splitlines()
+        if ln.startswith("flags")
+    ][0]
+except Exception:  # pragma: no cover
+    _flags = "unknown"
+_cpu_key = hashlib.sha1(_flags.encode()).hexdigest()[:10]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{_cpu_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np

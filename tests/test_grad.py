@@ -401,11 +401,16 @@ def test_inverse_rendering_bucketed_backend():
     assert losses[-1] < losses[0] * 0.4, losses[::10]
     got = np.asarray(params["tex_c0"][0])
     np.testing.assert_allclose(got, [0.6, 0.3, 0.2], atol=0.15)
-    # boundary composition is refused loudly.
-    import pytest
-
-    with pytest.raises(ValueError, match="bucketed"):
-        make_inverse_renderer(
-            wrong, cam, target, trainable=("sph_center",), width=24,
-            height=24, boundary=True, backend="bucketed",
-        )
+    # boundary composition is supported since round 5 (edge VJPs against
+    # the forward cotangent — diff/bucketed._compose_edges): a composed
+    # step runs and returns finite loss/params.
+    params_b, opt_state_b, step_b = make_inverse_renderer(
+        wrong, cam, target, trainable=("sph_center",), width=24,
+        height=24, samples_per_pass=2, max_depth=4, sky_gradient=True,
+        boundary=True, backend="bucketed",
+    )
+    params_b, opt_state_b, loss_b = step_b(
+        params_b, opt_state_b, jax.random.PRNGKey(3)
+    )
+    assert np.isfinite(float(loss_b))
+    assert np.isfinite(np.asarray(params_b["sph_center"])).all()

@@ -656,12 +656,13 @@ def test_persistent_stochastic_bilinear_tap_selection_exact():
     np.testing.assert_allclose(fb, want, rtol=2e-5, atol=2e-5)
 
 
-def test_persistent_image_bilinear_wide_two_band_exact():
-    """Wide images (padded width >= 256) take the round-4 TWO-BAND bilinear
-    scan (the v0/v1 texture rows are >= 2 chunks apart, so each row-band
-    scans separately); pin it bit-close against the XLA bilinear path on a
-    sphere AND a quad, exactly like the narrow-image test pins the shared
-    band."""
+def test_persistent_image_bilinear_wide_exact():
+    """Wide images (padded width >= 256, so the v0/v1 texture rows sit >= 2
+    chunks apart) still go through the ONE shared chunk-band scan for all 4
+    taps (a two-band split was measured slower and not kept —
+    ops/persistent_kernel.py round-4 note); pin the wide-image case
+    bit-close against the XLA bilinear path on a sphere AND a quad, exactly
+    like the narrow-image test pins the adjacent-row case."""
     from raytracer_tpu.core.camera import camera_rays
     from raytracer_tpu.geometry.intersect import intersect_scene
     from raytracer_tpu.materials.textures import eval_texture
