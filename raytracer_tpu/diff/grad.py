@@ -165,6 +165,7 @@ def make_inverse_renderer(
     optimizer=None,
     boundary: bool = False,
     shadow_edges: bool = False,
+    mirror_edges: bool = False,
     trainable_camera: tuple = (),
     backend: str = "scan",
 ):
@@ -200,6 +201,13 @@ def make_inverse_renderer(
             from raytracer_tpu.diff.shadow_edge import make_shadow_boundary_fn
 
             fns.append(make_shadow_boundary_fn(
+                rebuild, width=width, height=height, max_depth=max_depth,
+                sky_gradient=sky_gradient,
+            ))
+        if mirror_edges:
+            from raytracer_tpu.diff.mirror_edge import make_mirror_boundary_fn
+
+            fns.append(make_mirror_boundary_fn(
                 rebuild, width=width, height=height, max_depth=max_depth,
                 sky_gradient=sky_gradient,
             ))
