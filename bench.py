@@ -451,6 +451,20 @@ def main() -> None:
             )
         except Exception as e:
             detail["earth_bilinear"] = {"error": str(e)[:200]}
+        # Hi-res texture point (round-5 VERDICT #7): the REAL
+        # earthmap.jpg resolution (512x1024 texels) now shades in-kernel
+        # (MAX_IMAGE_TEXELS lifted to 1M) instead of dropping to the
+        # ~3-6 Mrays/s megakernel fallback.
+        sc, cm, st = get_scene(
+            "earth", spp=100, tex_height=512, tex_width=1024
+        )
+        try:
+            detail["earth_hires_tex"] = _measure_with_retry(
+                sc, cm, st, spp=100,
+                wavefront=_wavefront_for(100, sc, st), repeats=repeats,
+            )
+        except Exception as e:
+            detail["earth_hires_tex"] = {"error": str(e)[:200]}
         # Cornell box at its reference config (600x600 @ 200 spp,
         # main.go:194-225): quad-only geometry, emissive area light.
         sc, cm, st = get_scene("cornell")

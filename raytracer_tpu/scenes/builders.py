@@ -85,10 +85,15 @@ def earth(
     texture_path: str | None = None,
     bilinear: bool = False,
     bucket: bool = False,
+    tex_height: int = 256,
+    tex_width: int = 512,
 ):
     """Image-textured globe (main.go:80-104). The reference's earthmap.jpg is
     a missing blob in this mount, so by default a deterministic synthetic
-    earth-like texture stands in; pass `texture_path` to use a real JPEG."""
+    earth-like texture stands in; pass `texture_path` to use a real JPEG.
+    tex_height/tex_width size the synthetic stand-in — (512, 1024) matches
+    the real earthmap.jpg's resolution (the round-5 in-kernel texel budget
+    covers it; ops/persistent_kernel.MAX_IMAGE_TEXELS)."""
     cam, settings = make_camera(
         16.0 / 9.0,
         width,
@@ -100,7 +105,11 @@ def earth(
         background=SKY_BLUE,
     )
     b = SceneBuilder(seed)
-    img = load_jpeg(texture_path) if texture_path else synthetic_earth_texture()
+    img = (
+        load_jpeg(texture_path)
+        if texture_path
+        else synthetic_earth_texture(tex_height, tex_width)
+    )
     tex = b.image(img)
     b.add_sphere((0, 0, 0), 2, b.lambertian(tex))
     return b.build(bilinear_textures=bilinear, bucket_shapes=bucket), cam, settings

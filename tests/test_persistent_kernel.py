@@ -709,3 +709,25 @@ def test_persistent_image_bilinear_wide_exact():
     # diff 4.5e-5 on 5/768 channels — far below one texel step (~0.1), so
     # the taps are right and only blend weights differ in the last ulps.
     np.testing.assert_allclose(fb, want, rtol=1e-4, atol=1e-4)
+
+
+def test_supports_persistent_hires_texture_gate():
+    """Round-5 texel budget: the REAL earthmap.jpg resolution (512x1024)
+    shades in-kernel; images past 1M texels (or any dim >= 4096) still
+    fall back."""
+    from raytracer_tpu.ops.persistent_kernel import (
+        MAX_IMAGE_TEXELS,
+        scene_supports_persistent,
+    )
+
+    def scene_with(h, w):
+        b = SceneBuilder(0)
+        tex = b.image(np.zeros((h, w, 3), np.float32))
+        b.add_sphere((0, 0, 0), 1.0, b.lambertian(tex))
+        return b.build()
+
+    assert MAX_IMAGE_TEXELS >= 512 * 1024
+    assert scene_supports_persistent(scene_with(512, 1024))
+    assert scene_supports_persistent(scene_with(1024, 1024))
+    assert not scene_supports_persistent(scene_with(2048, 1024))
+    assert not scene_supports_persistent(scene_with(2, 4096))
