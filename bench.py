@@ -355,7 +355,11 @@ def _measure_grad_full(repeats: int):
     def run(k):
         nonlocal params, opt_state
         params, opt_state, loss = step(params, opt_state, k)
-        return float(loss)
+        # Sync on the UPDATED params, not the loss: the loss is produced
+        # by the forward early in the step and reading it alone lets the
+        # replay/edge/optimizer work spill asynchronously into the next
+        # step's wall.
+        return float(loss) + float(params["sph_center"].sum())
 
     for w in range(3):
         run(jax.random.fold_in(key, 90 + w))

@@ -161,8 +161,17 @@ def _trace_edge_radiance(scene, frame, x_px, key, *, background, max_depth,
 
     Averages spp_edge stochastic paths per point; the SAME key is used for
     matching lane indices across calls (common random numbers for the in/out
-    pair)."""
+    pair). These traces are pure forward evaluations (the edge weights are
+    stop-gradient), so on TPU the closest hit runs through the fused Pallas
+    kernel — at production primitive counts the dense-XLA search made edge
+    tracing ~90% of a composed gradient step (round-5 measurement)."""
     from raytracer_tpu.integrator.wavefront import trace
+
+    intersect_fn = None
+    if jax.default_backend() == "tpu":
+        from raytracer_tpu.geometry.intersect import intersect_scene_pallas_diff
+
+        intersect_fn = intersect_scene_pallas_diff
 
     k_rep = jnp.tile(x_px, (spp_edge, 1))  # (spp*K, 2)
     target = (
@@ -179,6 +188,12 @@ def _trace_edge_radiance(scene, frame, x_px, key, *, background, max_depth,
         background,
         max_depth=max_depth,
         sky_gradient=sky_gradient,
+        intersect_fn=intersect_fn,
+        # Unbiased RR with a tight cap: one deep glass path must not hold
+        # the whole edge batch at the depth budget (round-5 note in
+        # wavefront._bounce_step).
+        russian_roulette=True,
+        rr_max_q=0.75,
     )
     return rad.reshape(spp_edge, x_px.shape[0], 3).mean(axis=0)
 

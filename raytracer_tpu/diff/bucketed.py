@@ -154,7 +154,10 @@ class _PadMemo:
         self.last: dict[int, int] = {}
 
     def __call__(self, depth: int, sz: int) -> int:
-        want = _pad_size_halfoct(sz, self.floor)
+        # 2% + 64 headroom: per-step population jitter (fresh PRNG key)
+        # must not push a bucket just past a grid point one step after it
+        # compiled — each growth is a fresh ~20 s remote compile mid-run.
+        want = _pad_size_halfoct(int(sz * 1.02) + 64, self.floor)
         prev = self.last.get(depth)
         if prev is not None and sz <= prev and want * 2 > prev:
             return prev

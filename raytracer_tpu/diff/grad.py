@@ -20,11 +20,15 @@ corners, camera) flow through the whole wavefront via:
 
 Known limits: FIRST-BOUNCE secondary discontinuities (shadow edges cast by
 quads/spheres onto diffuse receivers, and area-light rims seen from
-receivers) are handled by diff/shadow_edge.py (opt-in, compose additively
-like boundary_image). Still unhandled: deeper-bounce shadow edges,
-silhouettes seen in mirrors, refracted rays sweeping across object horizons
-(d/d_ior behind glass), and the TIR-cone crossing — FD measures those; the
-estimators here do not.
+receivers) are handled by diff/shadow_edge.py, and silhouettes seen in
+FLAT METAL MIRRORS by diff/mirror_edge.py (round 5 — both opt-in, compose
+additively like boundary_image). Still unhandled: deeper-bounce shadow
+edges, multi-mirror paths, and refracted silhouettes behind glass
+(incl. the TIR-cone crossing) — the refracted gap is QUANTIFIED at
+~100% of its axis by tests/test_glass_gap.py (FD -0.062 vs every
+estimator's exact 0.000 on a glass-hidden blocker); closing it needs
+specular-manifold edge sampling (no closed form), left as a documented
+limit.
 
 For LARGE scenes, diff/tape.py offers a tape-replay backend that removes
 backward re-intersection entirely (records the per-bounce winner with the
@@ -190,19 +194,56 @@ def make_inverse_renderer(
 
     def _edge_fns():
         fns = []
+        n_src = scene.num_spheres + scene.num_quads
         if boundary:
-            from raytracer_tpu.diff.boundary import make_boundary_image_fn
+            from raytracer_tpu.diff.boundary import (
+                EdgeSamplingConfig,
+                make_boundary_image_fn,
+            )
 
+            # Many-primitive scenes scale the per-sphere contour budget
+            # down: at 489 spheres the default 256 phi x 8 spp_edge traces
+            # ~3M edge paths per step (measured ~6 s of a 6.7 s composed
+            # step at 400x225 depth 50); 64 x 4 keeps the estimator
+            # unbiased with ~10x fewer paths — edge noise just adds to the
+            # stochastic-gradient noise the optimizer already averages.
+            if n_src > 64:
+                bcfg = EdgeSamplingConfig(
+                    samples_per_sphere=64, samples_per_quad_edge=32,
+                    spp_edge=4,
+                )
+            else:
+                bcfg = EdgeSamplingConfig()
             fns.append(make_boundary_image_fn(
                 rebuild, width=width, height=height, max_depth=max_depth,
-                sky_gradient=sky_gradient,
+                sky_gradient=sky_gradient, config=bcfg,
             ))
         if shadow_edges:
-            from raytracer_tpu.diff.shadow_edge import make_shadow_boundary_fn
+            from raytracer_tpu.diff.shadow_edge import (
+                ShadowEdgeConfig,
+                make_shadow_boundary_fn,
+            )
 
+            # Production sizes get the round-4 importance-subsampled
+            # estimator automatically: the exhaustive default (every pixel
+            # x every source) is for toy scenes/tests — at 400x225 over a
+            # 489-primitive scene it produces a program the TPU compile
+            # service rejects outright (multi-GB edge-trace operands).
+            n_pix = width * height
+            if n_pix > (1 << 14) or n_src > 64:
+                # 1024 x 4 x 16-contour traces/step (~0.5 s at 400x225
+                # depth 50 on v5e) — the demo recovers a blocker from its
+                # shadow at a quarter of this budget; estimator noise just
+                # adds to the stochastic-gradient noise.
+                cfg = ShadowEdgeConfig(
+                    receivers=1024, sources_per_receiver=4,
+                    samples_per_sphere=16, samples_per_quad_edge=8,
+                )
+            else:
+                cfg = ShadowEdgeConfig()
             fns.append(make_shadow_boundary_fn(
                 rebuild, width=width, height=height, max_depth=max_depth,
-                sky_gradient=sky_gradient,
+                sky_gradient=sky_gradient, config=cfg,
             ))
         if mirror_edges:
             from raytracer_tpu.diff.mirror_edge import make_mirror_boundary_fn

@@ -106,11 +106,22 @@ def _trace_dirs(scene, origin, direction, key, *, background, max_depth,
     calls — the in/out difference cancels on already-occluded segments)."""
     from raytracer_tpu.integrator.wavefront import trace
 
+    # Pure forward evaluations (edge weights are stop-gradient): on TPU
+    # the closest hit runs through the fused Pallas kernel — same round-5
+    # fix as boundary._trace_edge_radiance.
+    intersect_fn = None
+    if jax.default_backend() == "tpu":
+        from raytracer_tpu.geometry.intersect import intersect_scene_pallas_diff
+
+        intersect_fn = intersect_scene_pallas_diff
+
     o = jnp.tile(origin, (spp_edge, 1))
     d = jnp.tile(direction, (spp_edge, 1))
     rad = trace(
         scene, o, d, key, background,
         max_depth=max_depth, sky_gradient=sky_gradient,
+        intersect_fn=intersect_fn,
+        russian_roulette=True, rr_max_q=0.75,
     )
     return rad.reshape(spp_edge, origin.shape[0], 3).mean(axis=0)
 

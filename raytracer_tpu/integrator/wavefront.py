@@ -73,6 +73,7 @@ def _bounce_step(
     state: WavefrontState,
     uniform_seq=None,
     intersect_fn=None,
+    rr=None,
 ):
     """One wavefront bounce: intersect, accumulate emission/background,
     scatter, update masks. Mirrors one level of Ray.GetColor (ray.go:37-53).
@@ -128,6 +129,23 @@ def _bounce_step(
     throughput = jnp.where(
         alive[..., None], state.throughput * scat.attenuation, state.throughput
     )
+    if rr is not None:
+        # Unbiased russian roulette (survive with q = clamp(max throughput),
+        # boost by 1/q — identical rule to the regen epilogue): used by the
+        # edge-radiance tracers, whose while_loop otherwise runs at the
+        # GLOBAL max path length (round-5: one deep glass path held 375K
+        # edge lanes for ~50 iterations, ~90% of a composed gradient
+        # step). Draws its own uniform from the loop key, so uniform_seq
+        # consumers are unaffected.
+        rr_start, rr_lo, rr_hi = rr
+        key, rr_sub = jax.random.split(key)
+        q = jnp.clip(jnp.max(throughput, axis=-1), rr_lo, rr_hi)
+        rr_on = alive & (state.bounce >= rr_start)
+        rru = jax.random.uniform(rr_sub, alive.shape, state.origin.dtype)
+        alive = alive & (~rr_on | (rru < q))
+        throughput = jnp.where(
+            (rr_on & alive)[..., None], throughput / q[..., None], throughput
+        )
     origin = jnp.where(alive[..., None], hit.point, state.origin)
     direction = jnp.where(alive[..., None], scat.direction, state.direction)
 
@@ -166,6 +184,9 @@ def trace(
     init_alive=None,
     return_state: bool = False,
     checkpoint_bounces: bool = True,
+    russian_roulette: bool = False,
+    rr_start_depth: int = 5,
+    rr_max_q: float = 0.95,
 ):
     """Trace a batch of rays to completion; returns radiance (N, 3)
     (or (radiance, traced_segment_count) with return_stats=True; with
@@ -216,6 +237,7 @@ def trace(
     step = partial(
         _bounce_step, scene, packed, background, sky_gradient,
         uniform_seq=uniform_seq, intersect_fn=intersect_fn,
+        rr=(rr_start_depth, 0.05, rr_max_q) if russian_roulette else None,
     )
 
     assert intersect_fn_differentiable or not (

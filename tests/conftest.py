@@ -21,22 +21,14 @@ os.environ.setdefault("PJRT_NPROC", "16")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Key the persistent cache by this host's CPU flags: the machine pool is
-# heterogeneous, and XLA:CPU AOT executables compiled on a host with e.g.
-# +prefer-no-scatter SEGFAULT when deserialized on one without (observed
-# round 5: hard crash inside compilation_cache.get_executable_and_time).
-import hashlib
-
-try:
-    _flags = [
-        ln for ln in open("/proc/cpuinfo").read().splitlines()
-        if ln.startswith("flags")
-    ][0]
-except Exception:  # pragma: no cover
-    _flags = "unknown"
-_cpu_key = hashlib.sha1(_flags.encode()).hexdigest()[:10]
-jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{_cpu_key}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compilation cache for the CPU test suite (round 5): the
+# XLA:CPU AOT deserializer SEGFAULTS the whole pytest process on bad cache
+# entries — observed both from executables compiled on a pool host with
+# different CPU features (+prefer-no-scatter) and from entries truncated
+# by a killed previous run. Hard crashes inside
+# compilation_cache.get_executable_and_time cost two full suite runs; the
+# cross-run compile savings are not worth it. (The TPU paths keep their
+# own cache; remote-compiled executables are not affected.)
 
 import numpy as np
 import pytest
