@@ -34,6 +34,19 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module: ~197 tests of
+    accumulated XLA:CPU JIT state in one process reproducibly SEGFAULTS
+    the compiler around test #160 (observed round 5 at the same position
+    in three consecutive full-suite runs, in whatever path produced the
+    next executable — cache read or fresh compile — while the same module
+    passes standalone). Per-module clearing keeps within-module reuse and
+    resets the compiler state well before the danger zone."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
