@@ -182,6 +182,7 @@ def make_bucketed_grad_fn(
     tape_rows: int = 0,
     edge_image_fns: tuple = (),
     rebuild_camera=None,
+    fwd_cap: int = 16,
 ):
     """Build `step(params, key) -> (loss, grads)` with depth-bucketed
     backward. `rebuild(params) -> Scene` as from diff.grad.split_scene.
@@ -216,6 +217,7 @@ def make_bucketed_grad_fn(
             width=width, height=height, samples_per_pass=samples_per_pass,
             max_depth=max_depth, sky_gradient=sky_gradient, ladder=ladder,
             quant=quant, tape_rows=tape_rows, rebuild_camera=rebuild_camera,
+            fwd_cap=fwd_cap,
         )
         return _compose_edges(
             inner, edge_image_fns, rebuild_camera, cam
@@ -529,6 +531,7 @@ def _make_kernel_bucketed_grad_fn(
     quant: int,
     tape_rows: int,
     rebuild_camera=None,
+    fwd_cap: int = 16,
 ):
     """Kernel-forward variant of the bucketed backend (round-5 VERDICT #1):
 
@@ -590,7 +593,6 @@ def _make_kernel_bucketed_grad_fn(
         width=width,
         height=height,
         rows=rows,
-        max_depth=max_depth,
         sky_gradient=sky_gradient,
         has_noise=bool(scene_probe.has_noise),
         has_image=has_image,
@@ -598,12 +600,19 @@ def _make_kernel_bucketed_grad_fn(
         img_w=int(scene_probe.images.shape[2]),
         bilinear=bool(scene_probe.bilinear_textures),
     )
+    # Two-phase forward (round 5): the synchronous tape kernel's tiles
+    # drain at their deepest lane, and at depth 50 EVERY 8K-lane tile holds
+    # a deep glass path — so the capped phase-1 kernel (depth fwd_cap)
+    # runs ~3x fewer iterations, and the ~1% of lanes still alive at the
+    # cap are finished in XLA (replay their first fwd_cap bounces from the
+    # tape — bit-identical by the counter-RNG identity — then continue with
+    # real intersection, recording the remaining tape rows).
+    d0 = fwd_cap if 0 < fwd_cap < max_depth else 0
 
     def _seed_of(key):
         return jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
 
-    @jax.jit
-    def kforward(params, key):
+    def _launch(params, key, depth_budget):
         scene, cam_p = _scene_and_camera(params, rebuild, rebuild_camera, cam)
         frame = camera_frame(cam_p, width, height)
         qd = quad_derived(scene)
@@ -612,10 +621,12 @@ def _make_kernel_bucketed_grad_fn(
         rad3, tape, _segs, _iters = render_persistent_tape(
             sph_p, quad_p, res_p,
             pack_camera_scalars_bg(frame, cam_p.background),
-            _seed_of(key), rem0, px0, py0, sid0, img_p, **static_kw,
+            _seed_of(key), rem0, px0, py0, sid0, img_p,
+            max_depth=depth_budget, **static_kw,
         )
-        radiance = rad3[:, :total].T  # (total, 3) per-lane
-        tape = tape[:, :total]
+        return rad3[:, :total].T, tape[:, :total]  # (total,3), (depth,total)
+
+    def _finish(radiance, tape):
         img = radiance.reshape(k, n, 3).mean(0).reshape(height, width, 3)
         loss = jnp.mean((img - target) ** 2)
         ct_img = 2.0 * (img - target) / jnp.float32(img.size)
@@ -630,6 +641,62 @@ def _make_kernel_bucketed_grad_fn(
         )
         lane_depth = jnp.minimum(last_hit + 2, max_depth)
         return loss, tape, ct_lane, lane_depth, ct_img
+
+    @jax.jit
+    def kforward(params, key):
+        radiance, tape = _launch(params, key, max_depth)
+        return _finish(radiance, tape)
+
+    @jax.jit
+    def kfwd_phase1(params, key):
+        radiance, tape_d0 = _launch(params, key, d0)
+        # Continuation candidates: a hit at the LAST budgeted bounce —
+        # true survivors plus terminal hits at that bounce (recomputing
+        # the latter in phase 2 reproduces their radiance bit-exactly, so
+        # the superset is harmless).
+        return radiance, tape_d0, tape_d0[d0 - 1] >= 0
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def kfwd_phase2(params, key, radiance, tape_d0, sel, amask):
+        scene, cam_p = _scene_and_camera(params, rebuild, rebuild_camera, cam)
+        sg = jax.lax.stop_gradient
+        scene = sg(scene)
+        frame = sg(camera_frame(cam_p, width, height))
+        seed = _seed_of(key)
+        pixs = sel % n
+        cam_uni = ctr_rng.camera_uniforms(seed, sel)
+        o, d = camera_rays(frame, pixs % width, pixs // width, cam_uni)
+        useq = sg(ctr_rng.bounce_uniform_seq(seed, sel, max_depth))
+        st1 = trace(
+            scene, sg(o), sg(d), jax.random.PRNGKey(0),
+            sg(cam_p.background), max_depth=d0, sky_gradient=sky_gradient,
+            uniform_seq=useq[:d0],
+            intersect_fn=make_tape_intersect_fn(tape_d0[:, sel]),
+            return_state=True,
+        )
+        st2 = trace(
+            scene, st1.origin, st1.direction, jax.random.PRNGKey(0),
+            sg(cam_p.background), max_depth=max_depth - d0,
+            sky_gradient=sky_gradient, uniform_seq=useq[d0:],
+            init_throughput=st1.throughput, init_radiance=st1.radiance,
+            init_alive=st1.alive & amask,
+            return_tape=True, return_state=True,
+        )
+        # Duplicate-safe merges (padded slots point at sel[0]): the mask
+        # scatters via max (pads write 0), the values via add (pads add 0).
+        mask_full = (
+            jnp.zeros((total,), jnp.int32).at[sel].max(amask.astype(jnp.int32))
+            > 0
+        )
+        val_full = jnp.zeros((total, 3), jnp.float32).at[sel].add(
+            jnp.where(amask[:, None], st2.radiance, 0.0)
+        )
+        radiance = jnp.where(mask_full[:, None], val_full, radiance)
+        tape_hi = jnp.full((max_depth - d0, total), -1, jnp.int32).at[
+            :, sel
+        ].max(jnp.where(amask[None, :], st2.tape, -1))
+        tape = jnp.concatenate([tape_d0, tape_hi], axis=0)
+        return _finish(radiance, tape)
 
     pad_memo = _PadMemo(min(quant, 2048))
 
@@ -695,7 +762,15 @@ def _make_kernel_bucketed_grad_fn(
         return grads
 
     def step(params, key):
-        loss, tape, ct_lane, lane_depth_d, ct_img = kforward(params, key)
+        if d0:
+            radiance, tape_d0, cand = kfwd_phase1(params, key)
+            idx = np.flatnonzero(np.asarray(cand))
+            sel, amask = _padded_idx("fwd2", idx)
+            loss, tape, ct_lane, lane_depth_d, ct_img = kfwd_phase2(
+                params, key, radiance, tape_d0, sel, amask
+            )
+        else:
+            loss, tape, ct_lane, lane_depth_d, ct_img = kforward(params, key)
         lane_depth = np.asarray(lane_depth_d)
         remaining = np.arange(total, dtype=np.int64)
         rem_depth = lane_depth

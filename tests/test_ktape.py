@@ -211,3 +211,36 @@ def test_ctr_rng_matches_between_shapes():
     cam_full = np.asarray(ctr_rng.camera_uniforms(seed, lanes))
     cam_sub = np.asarray(ctr_rng.camera_uniforms(seed, sub_lanes))
     np.testing.assert_array_equal(cam_sub, cam_full[100:200])
+
+
+def test_two_phase_forward_matches_single_phase():
+    """fwd_cap < max_depth splits the tape forward (capped kernel + XLA
+    continuation of the lanes still alive at the cap). The counter-RNG
+    identity makes the continuation bit-exact, so loss and gradients must
+    match the single-phase kernel forward to fp-accumulation noise."""
+    from raytracer_tpu.diff.bucketed import make_bucketed_grad_fn
+    from raytracer_tpu.diff.grad import split_scene
+
+    scene, cam = _mixed_scene()
+    w, h, spp, max_depth = 32, 18, 2, 8
+    params, rebuild = split_scene(scene)
+    key = jax.random.PRNGKey(9)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    outs = []
+    with pltpu.force_tpu_interpret_mode():
+        for cap in (0, 3):  # 0 = single phase, 3 = two-phase
+            step = make_bucketed_grad_fn(
+                rebuild, cam, target, width=w, height=h,
+                samples_per_pass=spp, max_depth=max_depth, quant=256,
+                forward="kernel", scene_probe=scene, tape_rows=8,
+                fwd_cap=cap,
+            )
+            outs.append(step(params, key))
+    (loss_a, grads_a), (loss_b, grads_b) = outs
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-7)
+    for name in params:
+        np.testing.assert_allclose(
+            np.asarray(grads_a[name]), np.asarray(grads_b[name]),
+            rtol=1e-5, atol=1e-8, err_msg=name,
+        )
