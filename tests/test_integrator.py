@@ -207,3 +207,38 @@ def test_fold_log_small_wavefront_exact_counts():
     fold = jax.jit(lambda lg: _fold_log(lg, K, n, n_pixels, jump, 0, 0, False))
     fb = np.asarray(fold(jnp.asarray(log)))
     np.testing.assert_array_equal(fb, np.full((n_pixels, 3), float(spp), np.float32))
+
+
+def test_trace_russian_roulette_unbiased():
+    """trace(russian_roulette=True) — the round-5 opt-in used by the edge
+    tracers — must keep the estimator's expectation: mean radiance over a
+    large batch matches the no-RR trace on a glass-heavy scene (RR only
+    reweights survivors by 1/q)."""
+    from raytracer_tpu.core.camera import camera_frame, camera_rays, make_camera
+    from raytracer_tpu.geometry.scene import SceneBuilder
+
+    b = SceneBuilder(0)
+    b.add_sphere((0, -100.5, -1), 100, b.lambertian((0.5, 0.5, 0.5)))
+    b.add_sphere((0, 0, -1), 0.5, b.dielectric(1.5))
+    b.add_sphere((1.1, 0, -1), 0.5, b.metal((0.8, 0.7, 0.6), 0.05))
+    scene = b.build()
+    cam, _ = make_camera(1.0, 32, look_from=(0, 0.3, 1.5), look_at=(0, 0, -1),
+                         background=(0.7, 0.8, 1.0))
+    w = h = 32
+    n = w * h
+    spp = 24
+    frame = camera_frame(cam, w, h)
+    pix = jnp.arange(spp * n, dtype=jnp.int32) % n
+    key = jax.random.PRNGKey(2)
+    uni = jax.random.uniform(key, (spp * n, 4), jnp.float32)
+    o, d = camera_rays(frame, pix % w, pix // w, uni)
+
+    means = []
+    for rr in (False, True):
+        rad = trace(
+            scene, o, d, jax.random.fold_in(key, int(rr)), cam.background,
+            max_depth=24, russian_roulette=rr, rr_start_depth=3,
+            rr_max_q=0.75,
+        )
+        means.append(np.asarray(rad).mean(axis=0))
+    np.testing.assert_allclose(means[0], means[1], atol=0.01)
