@@ -46,6 +46,16 @@ key) -> (H, W, 3) whose VJP against the forward's image cotangent adds the
 boundary contribution the interior replay cannot see (round-4 VERDICT #3:
 speed and silhouettes no longer trade off).
 
+Round 5: with forward="kernel" the fast forward + tape RECORDING run
+inside the persistent Pallas kernel (ops/persistent_kernel.
+render_persistent_tape) — all randomness switches to the stateless
+counter RNG (ops/ctr_rng.py) so the replay regenerates any lane subset's
+uniforms bit-exactly — and the forward itself is two-phase: a
+depth-capped kernel launch (fwd_cap) plus an XLA finish of the ~1% of
+lanes still alive at the cap (docs/PERF_NOTES.md round 5; pinned
+bit-identical by tests/test_ktape.py). Measured at the reference
+400x225@8spp depth-50 config: 0.70 s/step vs the scan backend's 3.88.
+
 Environment caveat (measured round 4, docs/PERF_NOTES.md): through the
 axon remote-TPU tunnel, host-orchestrated steps pay per-call dispatch and
 any host<->device traffic dearly — the tape must stay device-resident
@@ -656,7 +666,7 @@ def _make_kernel_bucketed_grad_fn(
         # the superset is harmless).
         return radiance, tape_d0, tape_d0[d0 - 1] >= 0
 
-    @partial(jax.jit, donate_argnums=(2, 3))
+    @jax.jit
     def kfwd_phase2(params, key, radiance, tape_d0, sel, amask):
         scene, cam_p = _scene_and_camera(params, rebuild, rebuild_camera, cam)
         sg = jax.lax.stop_gradient

@@ -2,10 +2,13 @@
 
 Stage 1: recover the sphere albedos from a target image by gradient descent
 through the differentiable renderer.
-Stage 2: recover a laterally displaced sphere CENTER — moving a sphere
-changes which paths hit it, a visibility discontinuity interior autodiff
-cannot see; the edge-sampled silhouette boundary term (diff/boundary.py)
-supplies it.
+Stage 2 (round 5: the UNIFIED production backend): recover a laterally
+displaced sphere CENTER at 224x126 through
+make_inverse_renderer(backend="bucketed", boundary=True,
+shadow_edges=True) — the depth-bucketed backend with its in-kernel tape
+forward, composed with the edge-sampled silhouette term interior autodiff
+cannot see; a finite-difference check of the composed gradient is
+computed at the wrong init and recorded in history.json.
 Stage 3: recover an OUT-OF-FRAME blocker's position purely from the shadow
 it casts — a SECONDARY discontinuity; interior AND primary-boundary
 gradients are exactly zero on this axis, so only the shadow-edge term
@@ -146,7 +149,7 @@ def main() -> None:
     # FD check (CRN pairs) on the displaced sphere's x at the WRONG init:
     # the composed bucketed gradient must land near FD on an axis that is
     # boundary-dominated.
-    from raytracer_tpu.diff.bucketed import make_bucketed_grad_fn  # noqa: F401
+    from raytracer_tpu.diff.bucketed import make_bucketed_grad_fn
     from raytracer_tpu.diff.grad import split_scene as _split
 
     def gloss_at(dx, k):
