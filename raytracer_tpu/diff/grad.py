@@ -20,15 +20,16 @@ corners, camera) flow through the whole wavefront via:
 
 Known limits: FIRST-BOUNCE secondary discontinuities (shadow edges cast by
 quads/spheres onto diffuse receivers, and area-light rims seen from
-receivers) are handled by diff/shadow_edge.py, and silhouettes seen in
-FLAT METAL MIRRORS by diff/mirror_edge.py (round 5 — both opt-in, compose
-additively like boundary_image). Still unhandled: deeper-bounce shadow
-edges, multi-mirror paths, and refracted silhouettes behind glass
-(incl. the TIR-cone crossing) — the refracted gap is QUANTIFIED at
-~100% of its axis by tests/test_glass_gap.py (FD -0.062 vs every
-estimator's exact 0.000 on a glass-hidden blocker); closing it needs
-specular-manifold edge sampling (no closed form), left as a documented
-limit.
+receivers) are handled by diff/shadow_edge.py, silhouettes seen in FLAT
+METAL MIRRORS by diff/mirror_edge.py, and quad blockers seen THROUGH
+dielectric spheres by diff/refracted_edge.py (specular-manifold Newton
+solve; recovers the FD gradient that every other estimator misses at
+exactly 0.000 — tests/test_glass_gap.py quantifies the gap,
+tests/test_refracted_edge.py closes it to ~3%). All opt-in, composing
+additively like boundary_image. Still unhandled: deeper-bounce shadow
+edges, multi-mirror and mirror-glass mixed paths, sphere blockers behind
+glass, TIR-cone crossings, and caustic folds beyond the two Newton
+inits.
 
 For LARGE scenes, diff/tape.py offers a tape-replay backend that removes
 backward re-intersection entirely (records the per-bounce winner with the
@@ -170,6 +171,7 @@ def make_inverse_renderer(
     boundary: bool = False,
     shadow_edges: bool = False,
     mirror_edges: bool = False,
+    refracted_edges: bool = False,
     trainable_camera: tuple = (),
     backend: str = "scan",
 ):
@@ -249,6 +251,15 @@ def make_inverse_renderer(
             from raytracer_tpu.diff.mirror_edge import make_mirror_boundary_fn
 
             fns.append(make_mirror_boundary_fn(
+                rebuild, width=width, height=height, max_depth=max_depth,
+                sky_gradient=sky_gradient,
+            ))
+        if refracted_edges:
+            from raytracer_tpu.diff.refracted_edge import (
+                make_refracted_boundary_fn,
+            )
+
+            fns.append(make_refracted_boundary_fn(
                 rebuild, width=width, height=height, max_depth=max_depth,
                 sky_gradient=sky_gradient,
             ))

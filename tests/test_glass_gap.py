@@ -2,12 +2,11 @@
 
 Round-5 extension of the discontinuity ledger (diff/grad.py "Known
 limits"): a blocker seen only THROUGH a glass sphere contributes a
-gradient via its refracted image's edges, which no estimator in the
-framework samples. Unlike shadow edges (closed, diff/shadow_edge.py) and
-mirror silhouettes (closed, diff/mirror_edge.py), this one stays OPEN —
-the refracted image position is not closed-form (it needs Newton-solved
-specular manifold walks, Jakob & Marschner 2012 style); this test pins
-the measured size of the gap so the limit is quantified, not anecdotal.
+gradient via its refracted image's edges, which interior AD and primary
+boundary sampling cannot see. This test pins the measured SIZE of that
+gap (what the blind estimators miss); diff/refracted_edge.py CLOSES it
+with a specular-manifold Newton solve — tests/test_refracted_edge.py
+asserts the recovery on the same scene.
 
 Measured here (CPU, 48x48@32spp depth 6, 4 keys): FD d(loss)/d(quad_u.x)
 = -0.062 +- 0.003 for a dark quad fully hidden behind a glass sphere
@@ -81,9 +80,9 @@ def test_refracted_silhouette_gap_quantified():
         g = jax.grad(partial(loss_b, key=jax.random.PRNGKey(0), use_b=use_b))(
             params
         )
-        # The gap is ~100%: the estimators are BLIND on this axis. If an
-        # estimator ever starts covering refracted edges, this assertion
-        # should flip to a recovery check like test_mirror_edge's.
+        # The gap is ~100%: interior and primary-boundary AD are BLIND on
+        # this axis (the recovery via diff/refracted_edge.py is asserted
+        # by tests/test_refracted_edge.py).
         assert abs(float(g["quad_u"][0, 0])) < 0.1 * abs(fd), (
             use_b,
             float(g["quad_u"][0, 0]),
