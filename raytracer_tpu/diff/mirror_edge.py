@@ -32,11 +32,11 @@ For a FLAT mirror all three are closed-form:
 Scope: flat mirrors only (metal quads with fuzz == 0 — fuzz smooths the
 reflected edge the way defocus smooths primary edges, turning the boundary
 term into an interior one); sphere blockers; ONE specular bounce (a
-silhouette seen via two mirrors remains out of scope, as do refracted
-silhouettes behind glass — the TIR cone and refracted horizon sweeps stay
-documented-only, diff/grad.py module docstring). The mirror's own geometry
-is not differentiated here (its primary edges are boundary.py's job; a
-moving mirror also sweeps the reflected image — a documented gap).
+silhouette seen via two mirrors remains out of scope; refracted
+silhouettes behind GLASS are handled separately by diff/refracted_edge.py
+— see diff/grad.py's limits ledger). The mirror's own geometry is not
+differentiated here (its primary edges are boundary.py's job; a moving
+mirror also sweeps the reflected image — a documented gap).
 
 Pairs are enumerated densely (every quad x every sphere) with non-mirror
 quads masked out at trace time, so the cost is Q*S*M edge samples —
