@@ -13,11 +13,16 @@ Stage 3: recover an OUT-OF-FRAME blocker's position purely from the shadow
 it casts — a SECONDARY discontinuity; interior AND primary-boundary
 gradients are exactly zero on this axis, so only the shadow-edge term
 (diff/shadow_edge.py) moves the optimizer.
+Stage 4 (round 5): recover the width of a dark quad FULLY HIDDEN behind a
+glass sphere — visible only as its refracted image; only the
+specular-manifold refracted-edge term (diff/refracted_edge.py) carries
+this axis (tests/test_glass_gap.py shows everything else at exactly 0).
 
     python scripts/inverse_render_demo.py          # writes out/inverse/*
 
 Artifacts: target.png, init.png, recovered.png, geometry_recovered.png,
-shadow_target.png, shadow_recovered.png, history.json.
+shadow_target.png, shadow_recovered.png, glass_target.png,
+glass_recovered.png, history.json.
 """
 
 from __future__ import annotations
@@ -343,6 +348,80 @@ def main() -> None:
         "bx_history": bx_hist,
         "fd_grad_bx": round(fd, 5),
         "ad_grad_bx": round(ad, 5),
+    }
+
+    # ---- Stage 4: recovery THROUGH GLASS (refracted-edge gradients) ------
+    # A dark quad fully hidden behind a dielectric sphere — visible only as
+    # its refracted image. Interior AD and the primary boundary term are
+    # exactly zero on its size axis (tests/test_glass_gap.py); the
+    # specular-manifold estimator (diff/refracted_edge.py, round 5)
+    # recovers the quad's width from the target image alone.
+    from raytracer_tpu.diff.refracted_edge import (
+        RefractedEdgeConfig,
+        make_refracted_boundary_fn,
+    )
+
+    RW = 48
+
+    def glass_scene(ux):
+        b = SceneBuilder(0)
+        b.add_sphere((0, 0, -2.0), 0.8, b.dielectric(1.5))
+        b.add_quad((-0.5, -0.5, -4.0), (float(ux), 0, 0), (0, 1.0, 0),
+                   b.lambertian((0.05, 0.05, 0.05)))
+        return b.build()
+
+    rcam, _ = make_camera(1.0, RW, fov_degrees=40, look_from=(0, 0, 1),
+                          look_at=(0, 0, -2), background=(1.0, 1.0, 1.0))
+    rkw = dict(width=RW, height=RW, samples_per_pass=32, max_depth=6)
+    true_ux, start_ux = 1.0, 0.55
+    rtarget = jnp.asarray(np.mean(
+        [np.asarray(render_linear_diff(glass_scene(true_ux), rcam,
+                                       jax.random.PRNGKey(300 + i), **rkw))
+         for i in range(4)], axis=0))
+    write_png(f"{out_dir}/glass_target.png", np.asarray(to_u8(rtarget)))
+
+    rparams, rrebuild = split_scene(glass_scene(start_ux), ("quad_u",))
+    refr_fn = make_refracted_boundary_fn(
+        rrebuild, width=RW, height=RW, max_depth=6,
+        config=RefractedEdgeConfig(samples_per_quad_edge=32, spp_edge=8),
+    )
+    rmask = jnp.zeros_like(rparams["quad_u"]).at[0, 0].set(1.0)
+
+    @jax.jit
+    def rgrad(p, key):
+        k1, k2 = jax.random.split(key)
+
+        def loss(pp):
+            img = render_linear_diff(rrebuild(pp), rcam, k1, **rkw)
+            img = img + refr_fn(pp, rcam, k2)
+            return jnp.mean((img - rtarget) ** 2)
+
+        l, g = jax.value_and_grad(loss)(p)
+        return l, {"quad_u": g["quad_u"] * rmask}
+
+    ropt = optax.adam(optax.exponential_decay(0.05, 20, 0.5))
+    rstate = ropt.init(rparams)
+    rp = rparams
+    t3 = time.perf_counter()
+    ux_hist = []
+    for i in range(50):
+        rl, g = rgrad(rp, jax.random.PRNGKey(2000 + i))
+        up, rstate = ropt.update(g, rstate)
+        rp = jax.tree_util.tree_map(lambda a, b: a + b, rp, up)
+        ux_hist.append(round(float(rp["quad_u"][0, 0]), 4))
+        if i % 10 == 0 or i == 49:
+            print(f"glass step {i:3d}  loss {float(rl):.5f}  ux {ux_hist[-1]:+.3f}",
+                  flush=True)
+    rdt = time.perf_counter() - t3
+    rrec = render_linear_diff(rrebuild(rp), rcam, jax.random.PRNGKey(5), **rkw)
+    write_png(f"{out_dir}/glass_recovered.png", np.asarray(to_u8(rrec)))
+    result["glass"] = {
+        "wall_s": round(rdt, 1),
+        "size": [RW, RW],
+        "recovered_ux": round(float(np.mean(ux_hist[-6:])), 3),
+        "true_ux": true_ux,
+        "init_ux": start_ux,
+        "ux_history": ux_hist[::5],
     }
 
     with open(f"{out_dir}/history.json", "w") as f:
